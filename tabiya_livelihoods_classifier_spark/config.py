@@ -1,0 +1,68 @@
+"""Engine configuration constants.
+
+Every numeric mirrors a value pinned in the reference (file:line cited) or in
+BASELINE.json; nothing here is tunable per-query unless a function exposes it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Per-entity-type cosine-similarity gates — reference inference/evaluator.py:190.
+ENTITY_BOUNDS: dict[str, float] = {
+    "Occupation": 0.0,
+    "Skill": 0.7,
+    "Qualification": 0.8,
+}
+
+# Retrieval depth — reference inference/linker.py:47 (default k=32).
+DEFAULT_TOP_K = 32
+
+# Deterministic hashing embedder dimensionality (FIXTURES.md §4).
+EMBED_DIM = 64
+
+# MinHash blocking: 16 hash permutations in 8 bands of 2 rows each.
+# (Bands of 2 keep per-pair collision probability high at Jaccard ~0.6,
+# which is where same-entity records with differing context tokens land.)
+MINHASH_NUM_HASHES = 16
+MINHASH_BAND_ROWS = 2
+
+# Word-shingle width for the near-dup/document operators (the ER pipeline
+# min-hashes record tokens directly, i.e. width 1).
+SHINGLE_WIDTH = 3
+
+# Candidate-pair explosion guard: blocks larger than this are salted/split
+# (SparkER-style re-blocking; see PAPERS.md SparkER EDBT 2019).
+MAX_BLOCK_SIZE = 2000
+
+# Pairwise-match decision threshold used by the clustering stage
+# (analog of the reference's Skill gate evaluator.py:190). Calibrated on the
+# synthetic corpus: same-entity pairs score >=~0.65, hardest non-match pairs
+# (one shared phrase word + same city) <=~0.45.
+MATCH_THRESHOLD = 0.55
+
+# Staleness window — reference 3_2b_clean_LLM_create_opp-db.py:455 (120 days).
+ACTIVE_WINDOW_DAYS = 120
+
+# IR metric cut-offs — reference inference/evaluator.py:34-38.
+IR_KS = (1, 4, 16, 32)
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    """Knobs for the end-to-end ER pipeline (plans/pipeline.py)."""
+
+    num_hashes: int = MINHASH_NUM_HASHES
+    band_rows: int = MINHASH_BAND_ROWS
+    shingle_width: int = SHINGLE_WIDTH
+    max_block_size: int = MAX_BLOCK_SIZE
+    match_threshold: float = MATCH_THRESHOLD
+    embed_dim: int = EMBED_DIM
+    top_k: int = DEFAULT_TOP_K
+    entity_bounds: dict[str, float] = field(default_factory=lambda: dict(ENTITY_BOUNDS))
+    # weights of the fused pairwise score (jaccard / jaro-winkler / cosine).
+    # JW gets the smallest weight: its prefix boost inflates scores of
+    # different entities sharing a leading token.
+    w_jaccard: float = 0.5
+    w_jw: float = 0.15
+    w_cosine: float = 0.35

@@ -1,0 +1,197 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1).
+
+Pure function of (seed, scale): a transcript table with EXACTLY the
+BASELINE.json input_hint shape
+    (conv_id:string, turn_idx:int, role:string, text:string,
+     tool:string, ts:timestamp)
+plus a gold table (conv_id, entity_id) — each conversation is a noisy
+realization of one gold entity, so gold clusters are conv_ids sharing
+entity_id. Noise is controlled (case flips, adjacent-char typos within
+Jaro-Winkler reach, injected newlines, duplicated whitespace, HTML-ish
+fragments) to exercise canonicalization P1-P6 without making blocking
+ambiguous.
+
+No external data, no downloads; `random.Random(seed)` only.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+from dataclasses import dataclass
+
+import pandas as pd
+
+ROLES = ["user", "assistant", "tool", "system"]
+TOOLS = ["search", "linker", "rank", ""]
+
+_ADJ = [
+    "senior", "junior", "industrial", "certified", "freelance", "municipal",
+    "clinical", "digital", "regional", "maritime", "agricultural", "forensic",
+]
+_NOUN = [
+    "software", "pastry", "logistics", "data", "marketing", "welding",
+    "nursing", "aviation", "fisheries", "textile", "energy", "heritage",
+]
+_ROLE = [
+    "engineer", "chef", "coordinator", "analyst", "technician", "planner",
+    "inspector", "educator", "surveyor", "operator", "designer", "advisor",
+]
+
+_TEMPLATES = [
+    "i am looking for a {p} position in the {c} area",
+    "we urgently need an experienced {p} for our {c} office",
+    "candidate profile matches {p} with strong references from {c}",
+    "searching openings for {p} roles near {c}",
+    "the {p} vacancy in {c} remains open this quarter",
+    "shortlisted applicants for {p} must relocate to {c}",
+]
+
+_CITIES = [
+    "johannesburg", "cape town", "durban", "pretoria", "gqeberha",
+    "bloemfontein", "polokwane", "kimberley",
+]
+
+_BASE_TS = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+@dataclass(frozen=True)
+class Scale:
+    convs: int
+    entities: int
+    turns_lo: int = 4
+    turns_hi: int = 10
+
+
+SCALES = {
+    "xs": Scale(convs=60, entities=12),
+    "s": Scale(convs=1000, entities=100),
+    "bench": Scale(convs=50_000, entities=2000),
+}
+
+
+def entity_phrases(n: int, rng: random.Random) -> list[str]:
+    """n distinct gold entity phrases like 'senior pastry chef'.
+
+    For n <= 144 a mutually-orthogonal construction guarantees any two
+    phrases share AT MOST ONE of (adj, noun, role): a = i%12, noun index
+    cycles with the quotient, role = (a + noun) % 12. Keeps hard negatives
+    hard but separable. Beyond 144 (bench scale, where F1 is not gated)
+    remaining product combos are appended.
+    """
+    m = len(_ADJ)
+    phrases = []
+    for i in range(min(n, m * m)):
+        a = i % m
+        q = i // m
+        nn = (a + q) % m
+        r = (a + nn) % m
+        phrases.append(f"{_ADJ[a]} {_NOUN[nn]} {_ROLE[r]}")
+    if n > m * m:
+        combos = [
+            " ".join(c)
+            for c in itertools.product(_ADJ, _NOUN, _ROLE)
+        ]
+        rng.shuffle(combos)
+        seen = set(phrases)
+        for c in combos:
+            if len(phrases) >= n:
+                break
+            if c not in seen:
+                seen.add(c)
+                phrases.append(c)
+    return phrases
+
+
+def _typo(word: str, rng: random.Random) -> str:
+    """Swap two adjacent chars — stays within Jaro-Winkler reach."""
+    if len(word) < 4:
+        return word
+    i = rng.randrange(1, len(word) - 2)
+    return word[:i] + word[i + 1] + word[i] + word[i + 2 :]
+
+
+def _noisify(text: str, rng: random.Random) -> str:
+    words = text.split(" ")
+    r = rng.random()
+    if r < 0.25:  # one adjacent-char typo in a long word
+        cand = [i for i, w in enumerate(words) if len(w) >= 5]
+        if cand:
+            i = rng.choice(cand)
+            words[i] = _typo(words[i], rng)
+    elif r < 0.45:  # case flip a word
+        i = rng.randrange(len(words))
+        words[i] = words[i].upper()
+    out = " ".join(words)
+    r = rng.random()
+    if r < 0.2:  # inject newline at a space
+        spaces = [i for i, ch in enumerate(out) if ch == " "]
+        if spaces:
+            i = rng.choice(spaces)
+            out = out[:i] + "\n" + out[i + 1 :]
+    elif r < 0.35:  # duplicate whitespace
+        spaces = [i for i, ch in enumerate(out) if ch == " "]
+        if spaces:
+            i = rng.choice(spaces)
+            out = out[:i] + "  " + out[i + 1 :]
+    elif r < 0.45:  # HTML-ish fragment
+        out = "<b>" + out + "</b>"
+    return out
+
+
+def generate_transcripts(
+    scale: str = "xs", seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (turns_df, gold_df).
+
+    turns_df columns: conv_id, turn_idx (int32), role, text, tool, ts.
+    gold_df columns: conv_id, entity_id, entity_phrase.
+    """
+    sc = SCALES[scale]
+    rng = random.Random(seed)
+    phrases = entity_phrases(sc.entities, rng)
+
+    # balanced entity assignment (shuffled round-robin): every entity gets
+    # convs/entities conversations, so no entity's tokens can cross the
+    # corpus boilerplate turn-DF threshold (pipeline.TURN_STOP_DF).
+    assignment = [ci % sc.entities for ci in range(sc.convs)]
+    rng.shuffle(assignment)
+
+    rows = []
+    gold = []
+    for ci in range(sc.convs):
+        conv_id = f"conv-{ci:06d}"
+        eid = assignment[ci]
+        phrase = phrases[eid]
+        gold.append((conv_id, eid, phrase))
+        n_turns = rng.randrange(sc.turns_lo, sc.turns_hi + 1)
+        city = rng.choice(_CITIES)
+        for ti in range(n_turns):
+            role = ROLES[ti % len(ROLES)]
+            tool = rng.choice(TOOLS) if role == "tool" else ""
+            template = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+            text = _noisify(template.format(p=phrase, c=city), rng)
+            ts = _BASE_TS + dt.timedelta(seconds=ci * 3600 + ti * 60)
+            rows.append((conv_id, ti, role, text, tool, ts))
+
+    turns = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    turns["turn_idx"] = turns["turn_idx"].astype("int32")
+    gold_df = pd.DataFrame(gold, columns=["conv_id", "entity_id", "entity_phrase"])
+    return turns, gold_df
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def transcripts_spark(spark, scale: str = "xs", seed: int = 42):
+    """(turns DataFrame, gold DataFrame) materialized into Spark."""
+    turns, gold = generate_transcripts(scale, seed)
+    tdf = spark.createDataFrame(turns, schema=TRANSCRIPT_SCHEMA)
+    gdf = spark.createDataFrame(gold)
+    return tdf, gdf

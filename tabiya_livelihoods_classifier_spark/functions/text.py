@@ -1,0 +1,157 @@
+"""Scalar text transforms (SURVEY §2.2 P1-P19) as JVM-side column expressions.
+
+Everything in this module stays inside WholeStageCodegen — no Python in the
+hot path. The single exception is NFKC normalization (`nfkc_casefold_udf`),
+which Spark lacks as a built-in; it is an Arrow-batched pandas UDF used only
+where full Unicode parity with the reference's ``norm_label``
+(3_2b_clean_LLM_create_opp-db.py:224-227) matters.
+
+Reference semantics reimplemented here (file:line into /root/reference):
+  P1  newline normalize          inference/linker.py:147-150
+  P3  whitespace collapse        scripts/1_import_jobs/1_1_...py:219-246
+  P5  uuid normalize             scripts/2_run_bert_classifier/2_2_...py:89-93
+  P6  label normalize (NFKC)     scripts/3_llm_reranker/3_2b_...py:224-227
+  P8  id canonicalize "1.0"->"1" scripts/3_llm_reranker/3_2b_...py:405-432
+  P9  digit strip                scripts/1_import_jobs/1_1_...py:128-132
+  P10 salary numeric strip       scripts/1_import_jobs/1_1_...py:151-154
+  P13 active flag                scripts/3_llm_reranker/3_2b_...py:447-456
+  P14 EQF label parse            inference/evaluator.py:258-264
+  P19 row hash                   scripts/3_llm_reranker/3_2b_...py:875-878
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tabiya_livelihoods_classifier_spark.config import ACTIVE_WINDOW_DAYS
+
+# --------------------------------------------------------------------------
+# P1/P3/P4: canonicalization. The per-turn text invariant (BASELINE.json
+# input_hint) is defined by `canonicalize_text` == plans/oracle.py
+# `reference_canonicalize` byte-for-byte.
+# --------------------------------------------------------------------------
+
+
+def canonicalize_text(col: Column | str) -> Column:
+    """null -> '' ; newlines/CR/tabs -> space ; collapse runs of spaces ; trim.
+
+    Mirrors linker.py:147-150 (``text.replace('\\n',' ')``, None guard) plus
+    the whitespace collapse of 1_1_...py:228-236. Pure codegen expressions.
+    """
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    c = F.regexp_replace(c, r"[\n\r\t]", " ")
+    c = F.regexp_replace(c, r" {2,}", " ")
+    return F.trim(c)
+
+
+def norm_label(col: Column | str) -> Column:
+    """Codegen-side label normalization: canonicalize + lower.
+
+    ``lower`` approximates casefold for the ASCII fixtures (SURVEY §2.2 P6);
+    use `nfkc_casefold_udf` when full Unicode parity is required.
+    """
+    return F.lower(canonicalize_text(col))
+
+
+@F.pandas_udf(T.StringType())
+def nfkc_casefold_udf(s: pd.Series) -> pd.Series:
+    """NFKC + casefold (reference norm_label 3_2b...py:224-227), Arrow-batched."""
+    return s.fillna("").map(lambda x: unicodedata.normalize("NFKC", x).casefold())
+
+
+def nfkc_casefold_py(text: str | None) -> str:
+    """Single-process twin of `nfkc_casefold_udf` for the oracle/tests."""
+    return unicodedata.normalize("NFKC", text or "").casefold()
+
+
+# --------------------------------------------------------------------------
+# Tokenization / shingling — shared by blocking, Jaccard, and text stats.
+# --------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def tokens(col: Column | str, *, lowercase: bool = True) -> Column:
+    """array<string> of alnum tokens (lowercased), empty strings removed."""
+    c = norm_label(col) if lowercase else canonicalize_text(col)
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def shingles(tok_col: Column, width: int) -> Column:
+    """Word w-shingles as space-joined strings; whole-doc fallback if shorter.
+
+    Built-in HOFs only: transform over index range + slice + array_join.
+    """
+    n = F.size(tok_col)
+    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(tok_col, i + 1, width), " "))
+    return F.when(n >= width, F.array_distinct(sh)).otherwise(
+        F.array(F.array_join(tok_col, " "))
+    )
+
+
+# --------------------------------------------------------------------------
+# Misc scalar transforms (P5, P8-P10, P13-P14, P19)
+# --------------------------------------------------------------------------
+
+
+def norm_uuid(col: Column | str) -> Column:
+    """P5: strip + lowercase (2_2...py:89-93)."""
+    return F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+
+
+def canon_id(col: Column | str) -> Column:
+    """P8: "123.0" -> "123", null -> "" (3_2b...py:405-432)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    stripped = F.regexp_replace(c, r"\.0+$", "")
+    return F.coalesce(stripped, F.lit(""))
+
+
+def digits_only(col: Column | str) -> Column:
+    """P9: keep digits, cast long (1_1...py:128-132)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"\D", "").cast("long")
+
+
+def numeric_strip(col: Column | str) -> Column:
+    """P10: keep [0-9.], cast double (1_1...py:151-154)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[^0-9.]", "").cast("double")
+
+
+def active_flag(
+    ts_col: Column | str, now_col: Column, window_days: int = ACTIVE_WINDOW_DAYS
+) -> Column:
+    """P13: active iff ts within `window_days` of `now_col` (3_2b...py:447-456).
+
+    `now_col` is an explicit column (e.g. max(ts) over the corpus) rather than
+    current_timestamp() so runs are deterministic and oracle-comparable.
+    """
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.when(c.isNull(), F.lit(True)).otherwise(
+        F.datediff(now_col, c) <= window_days
+    )
+
+
+def eqf_level(col: Column | str) -> Column:
+    """P14: last char of label -> double, fallback 0.0 (evaluator.py:258-264)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.substring(c, -1, 1).cast("double"), F.lit(0.0))
+
+
+def row_hash(*cols: Column | str) -> Column:
+    """P19: stable row hash over id columns — sha256 of '|'-joined values.
+
+    (Reference uses sha1, 3_2b...py:875-878; sha256 chosen because both Spark
+    and DuckDB expose it for oracle parity.)
+    """
+    parts = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(""))
+        for c in cols
+    ]
+    return F.sha2(F.concat_ws("|", *parts), 256)

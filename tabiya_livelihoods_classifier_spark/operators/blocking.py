@@ -1,0 +1,128 @@
+"""Blocking: MinHash-LSH band keys + composite keys + block-size control.
+
+Replaces the reference's entity-type routing (inference/linker.py:285-304,
+its only 'blocking') with scale-real candidate generation:
+
+* `minhash_band_keys` — deterministic MinHash over word shingles computed as
+  pure column expressions: permutation i of shingle s is md5(f"{i}:" || s)
+  and the signature element is the LEXICOGRAPHIC MIN of those hex digests.
+  This is engine-portable (identical in DuckDB for oracle SQL), JVM-codegen
+  (no Python), and needs no pyspark.ml vector assembly. Band key = band
+  index + concat of its signature rows; two records share a band key iff
+  their signatures agree on that band (standard LSH banding).
+* `composite_keys` — cheap structural keys (role/tool fingerprint + leading
+  token) unioned with LSH keys, mirroring the reference's per-type routing.
+* `cap_block_size` — SparkER-style oversized-block control (PAPERS.md,
+  SparkER EDBT 2019): blocks above `max_block_size` are salted into
+  sub-blocks via pmod(xxhash64(record_id), n_salt). This bounds the
+  quadratic pair blowup per block; recall is preserved by the other bands.
+  AQE skew-join handles residual imbalance (session.py).
+* `candidate_pairs` — block-local self-join with id_a < id_b and pair-level
+  dedupe. The ONLY wide shuffles in blocking are (1) hash partition by
+  block_key and (2) pair dedupe; both scale linearly in candidate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tabiya_livelihoods_classifier_spark.config import (
+    MAX_BLOCK_SIZE,
+    MINHASH_BAND_ROWS,
+    MINHASH_NUM_HASHES,
+)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = MINHASH_NUM_HASHES) -> list[Column]:
+    """One min-md5 column per hash permutation (lexicographic min of hex).
+
+    NOTE: the permutation seed must be captured OUTSIDE the transform lambda —
+    a two-parameter lambda would be interpreted by Spark as (element, index).
+    """
+
+    def perm(i: int) -> Column:
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    return [perm(i) for i in range(num_hashes)]
+
+
+def minhash_band_keys(
+    shingle_col: Column,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> Column:
+    """array<string> of LSH band keys ('b{band}|h0|h1|h2')."""
+    sig = minhash_signature(shingle_col, num_hashes)
+    bands = []
+    for b in range(0, num_hashes, band_rows):
+        parts = sig[b : b + band_rows]
+        bands.append(F.concat_ws("|", F.lit(f"b{b // band_rows}"), *parts))
+    return F.array(*bands)
+
+
+def composite_key(role_sig_col: Column, tokens_col: Column) -> Column:
+    """Structural composite key: role/tool fingerprint # leading token.
+
+    Analog of the reference's entity-type routing (linker.py:285-304): a
+    coarse, cheap partition of the space that complements LSH recall.
+    """
+    lead = F.coalesce(F.try_element_at(tokens_col, F.lit(1)), F.lit("_"))
+    return F.concat_ws("#", F.lit("ck"), role_sig_col, lead)
+
+
+def explode_blocks(
+    records: DataFrame, id_col: str, key_arr_col: Column
+) -> DataFrame:
+    """(block_key, id) membership table."""
+    return records.select(
+        F.explode(key_arr_col).alias("block_key"), F.col(id_col).alias("rid")
+    )
+
+
+def cap_block_size(
+    membership: DataFrame,
+    max_block_size: int = MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """Salt oversized blocks: key -> key#salt with ceil(size/max) salts.
+
+    Two-pass: aggregate block sizes (tiny result, broadcast back), then
+    rewrite keys. Records in an oversized block land in exactly one
+    sub-block; cross-salt pairs are sacrificed for boundedness (recall
+    carried by the remaining bands) — explicit skew handling per the north
+    rule, on top of AQE.
+    """
+    sizes = membership.groupBy("block_key").agg(F.count("*").alias("n"))
+    big = sizes.filter(F.col("n") > max_block_size).select(
+        "block_key", F.ceil(F.col("n") / max_block_size).cast("int").alias("n_salt")
+    )
+    out = membership.join(F.broadcast(big), "block_key", "left")
+    salted = F.when(
+        F.col("n_salt").isNotNull(),
+        F.concat_ws(
+            "#",
+            F.col("block_key"),
+            F.pmod(F.xxhash64(F.col("rid")), F.col("n_salt")).cast("string"),
+        ),
+    ).otherwise(F.col("block_key"))
+    return out.select(salted.alias("block_key"), "rid")
+
+
+def candidate_pairs(membership: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs co-occurring in any block.
+
+    Equi-join on block_key (hash shuffle, AQE-skew-aware) then pair-level
+    dedupe. Never a cross join: Catalyst plans a shuffled/broadcast hash
+    join on block_key.
+    """
+    a = membership.alias("a")
+    b = membership.alias("b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("a.rid") < F.col("b.rid"))
+        .select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
