@@ -1,0 +1,1446 @@
+"""Driver-contract query battery: each operator from SURVEY.md §2 expressed
+as (a) an idiomatic Spark DataFrame query over the /root/testdata tables and
+(b) an equivalent ANSI-SQL oracle for DuckDB.
+
+Cross-engine determinism rules used throughout (documented once here):
+
+  * money/count aggregates go through DECIMAL casts so sums are exact and
+    order-independent, then cast back to double at the end;
+  * similarity scores are single-expression rationals (p/q) or quantized
+    integer arithmetic (embeddings -> round(x*1e6) bigints) so both engines
+    produce bit-identical doubles; doubles are additionally round()ed;
+  * hashes are md5/sha256 of explicitly formatted strings (never engine
+    default casts of timestamps);
+  * every computed column is aliased identically in both dialects;
+  * ranking ties always break on a unique id column.
+
+The shared text pipeline (tokens -> 3-word shingles -> md5 MinHash) matches
+functions/text.py + operators/blocking.py semantics exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tabiya_livelihoods_classifier_spark.functions.text import (
+    canonicalize_text,
+    shingles,
+    tokens,
+)
+from tabiya_livelihoods_classifier_spark.operators.blocking import (
+    minhash_signature,
+)
+
+# --------------------------------------------------------------------------
+# table access
+# --------------------------------------------------------------------------
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: Column, scale: int = 2) -> Column:
+    return col.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Q01  pricing summary (A9 aggregation family; TPC-H Q1 shape)
+#      ref: counter summaries 2_1...py:140-197 generalized to grouped aggs
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base"),
+            F.sum(
+                _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q02  grouped top-k (T1: torch.topk analog, linker.py:306-311)
+# --------------------------------------------------------------------------
+
+
+def q02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+Q02_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part) t
+WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q03  broadcast dim-join chain (J1/J12: dict-lookup joins 2_2...py:106-141)
+# --------------------------------------------------------------------------
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q03_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q04/Q05  semi / anti joins (J10 validity filter; J11 anti-join resume)
+# --------------------------------------------------------------------------
+
+
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q04_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q06  last-wins compaction (S12/A6: compact_ndjson 3_1...py:185-215)
+# --------------------------------------------------------------------------
+
+
+def q06_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+Q06_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q07  exact dedupe with representative mapping (A4/A5/A8)
+# --------------------------------------------------------------------------
+
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[\\n\\r\\t]', ' ', 'g'),"
+    " ' {2,}', ' ', 'g'))"
+)
+
+
+def _canon_doc(col: Column) -> Column:
+    return F.lower(canonicalize_text(col))
+
+
+def q07_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", _canon_doc(F.col("text")).alias("canon"))
+    w = Window.partitionBy("canon")
+    return canon.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+Q07_SQL = f"""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY canon) AS keep_id,
+       COUNT(*)    OVER (PARTITION BY canon) AS group_size
+FROM (SELECT doc_id, {_CANON_SQL} AS canon FROM documents) t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q08  canonicalization (P1/P3/P4) — per-row text invariant on documents
+# --------------------------------------------------------------------------
+
+
+def q08_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _canon_doc(F.col("text")).alias("canon_text"),
+        F.length(_canon_doc(F.col("text"))).alias("canon_len"),
+    )
+
+
+Q08_SQL = f"""
+SELECT doc_id, {_CANON_SQL} AS canon_text, length({_CANON_SQL}) AS canon_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q09  staleness/active flag (P13: compute_active_flags 3_2b...py:447-456)
+# --------------------------------------------------------------------------
+
+
+def q09_active_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(max_ts))
+        .select(
+            "event_id",
+            (
+                F.datediff(F.to_date("m"), F.to_date("ts")) <= 120
+            ).alias("active"),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT event_id,
+       date_diff('day', CAST(ts AS DATE),
+                 CAST((SELECT MAX(ts) FROM events) AS DATE)) <= 120 AS active
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10  composite-score keep-best dedupe (P12+A5: 1_1...py:254-265)
+# --------------------------------------------------------------------------
+
+
+def q10_best_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    score = _dec(F.col("o_totalprice")) + F.length("o_orderpriority").cast(
+        "decimal(18,2)"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("score", score.cast("double"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "score")
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, o_orderkey, score FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              + CAST(length(o_orderpriority) AS DECIMAL(18,2)) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                                     + CAST(length(o_orderpriority) AS DECIMAL(18,2)) DESC,
+                                     o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11  row hash (P19: _row_hash 3_2b...py:875-878) with explicit formatting
+# --------------------------------------------------------------------------
+
+
+def q11_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    return orders.select(
+        "o_orderkey", F.sha2(payload, 256).alias("row_hash")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderkey,
+       sha256(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+              || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS row_hash
+FROM orders
+"""
+
+
+# ==========================================================================
+# Text / near-duplicate operators on the `documents` table.
+#
+# The documents corpus has a 31-word vocabulary, so token-level Jaccard is
+# non-discriminative (random pairs ~0.73); every near-dup operator works on
+# 3-word shingles (random pairs ~0.0, perturbed copies ~0.93) — mirroring
+# the ER pipeline's MinHash-over-signature design at document granularity.
+#
+# A deterministic "perturbed corpus" (originals + appended-marker near-dups
+# + uppercased exact-dups) gives the dedup operators real positives; both
+# engines derive it identically.
+# ==========================================================================
+
+_TOK_LIST_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' near duplicate copy marker', lang
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text), lang
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, lang, {_TOK_LIST_SQL} AS ts FROM corpus),
+shing AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [array_to_string(ts, ' ')] END AS sh
+  FROM tok)
+"""
+
+
+def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate copy marker")).alias(
+                "text"
+            ),
+            "lang",
+        )
+    )
+    exact = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def _with_shingles(corpus: DataFrame) -> DataFrame:
+    ts = tokens(F.col("text"))
+    return corpus.select(
+        "doc_id", "lang", shingles(ts, 3).alias("sh")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12  shingle-Jaccard similarity join (U2/J13/J14 family)
+# --------------------------------------------------------------------------
+
+
+def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+Q12_SQL = f"""
+WITH {_CORPUS_CTE.strip()},
+{_SHINGLE_CTE.strip()},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shing),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13  MinHash signatures (blocking core, engine-portable md5 MinHash)
+# --------------------------------------------------------------------------
+
+
+def q13_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
+    sig = minhash_signature(F.col("sh"), 16)
+    return sh.select(
+        "doc_id", F.posexplode(F.array(*sig)).alias("h", "minhash")
+    )
+
+
+Q13_SQL = f"""
+WITH {_CORPUS_CTE.strip()},
+{_SHINGLE_CTE.strip()}
+SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS minhash
+FROM (SELECT doc_id, unnest(sh) AS s FROM shing) ex
+CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+GROUP BY doc_id, h
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14  MinHash-LSH near-duplicate pairs (blocking + exact rescoring)
+# --------------------------------------------------------------------------
+
+
+def q14_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.strsim import jaccard_expr
+    from tabiya_livelihoods_classifier_spark.operators.blocking import (
+        minhash_band_keys,
+    )
+
+    sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
+    mem = sh.select(
+        "doc_id", F.explode(minhash_band_keys(F.col("sh"), 16, 2)).alias("bk")
+    )
+    a = mem.alias("a")
+    b = mem.alias("b")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    feats = sh.select("doc_id", "sh")
+    out = (
+        pairs.join(feats.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(feats.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+Q14_SQL = f"""
+WITH {_CORPUS_CTE.strip()},
+{_SHINGLE_CTE.strip()},
+sig AS (
+  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS minhash
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing) ex
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h),
+bands AS (
+  SELECT doc_id, 'b' || CAST(h // 2 AS VARCHAR) || '|'
+         || string_agg(minhash, '|' ORDER BY h) AS bk
+  FROM sig GROUP BY doc_id, h // 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, sh FROM shing)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
+      >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15  SimHash (64->32-bit) document sketch
+# --------------------------------------------------------------------------
+
+
+def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    ks = spark.range(32).select(F.col("id").cast("int").alias("k"))
+    bits = (
+        toks.crossJoin(ks)
+        .selectExpr(
+            "doc_id",
+            "k",
+            "shiftright(cast(conv(substring(md5(token), cast(k div 4 as int) + 1, 1),"
+            " 16, 10) as int), cast(k % 4 as int)) % 2 as bit",
+        )
+        .selectExpr("doc_id", "k", "2 * bit - 1 as w")
+        .groupBy("doc_id", "k")
+        .agg(F.sum("w").alias("s"))
+        .selectExpr(
+            "doc_id",
+            "case when s > 0 then shiftleft(cast(1 as bigint), k) else 0 end as bitval",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+    return bits
+
+
+Q15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_LIST_SQL})) AS token FROM documents),
+bits AS (
+  SELECT doc_id, k,
+         SUM(2 * ((strpos('0123456789abcdef',
+                          substr(md5(token), CAST(k // 4 AS INT) + 1, 1)) - 1)
+                  >> (k % 4) & 1) - 1) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
+  GROUP BY doc_id, k)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16  document fingerprint (P19 analog over sorted token set)
+# --------------------------------------------------------------------------
+
+
+def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(ts)), " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+Q16_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOK_LIST_SQL})), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17  token statistics (text-analysis family)
+# --------------------------------------------------------------------------
+
+
+def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    sum_len = F.aggregate(
+        F.transform(ts, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.round(
+            sum_len.cast("double") / F.size(ts).cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+Q17_SQL = f"""
+SELECT doc_id,
+       len(ts) AS n_tokens,
+       len(list_distinct(ts)) AS n_distinct,
+       round(CAST(list_sum(list_transform(ts, x -> CAST(length(x) AS BIGINT)))
+                  AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6) AS avg_token_len
+FROM (SELECT doc_id, {_TOK_LIST_SQL} AS ts FROM documents) t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18  quality score (length + stopword-ratio heuristic)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def q18_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(ts)
+    stop_ratio = F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(len_factor * (1.0 - stop_ratio), 6).alias("quality"),
+    )
+
+
+_STOP_SQL = "['the','a','of','and','to','in']"
+
+Q18_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_LIST_SQL} AS ts FROM documents),
+s AS (SELECT doc_id, len(ts) AS n,
+             len(list_filter(ts, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+      FROM t)
+SELECT doc_id, n AS n_tokens,
+       round(CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS stop_ratio,
+       round(least(1.0, CAST(n AS DOUBLE) / 100.0)
+             * (1.0 - CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n AS DOUBLE)
+                           ELSE 0.0 END), 6) AS quality
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19  language guess by stopword voting (n-gram-heuristic language ID)
+# --------------------------------------------------------------------------
+
+_LANG_WORDS = [
+    ("en", "the"), ("en", "a"), ("en", "and"), ("en", "of"),
+    ("es", "el"), ("es", "la"), ("es", "de"), ("es", "y"),
+    ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "de"),
+    ("de", "der"), ("de", "die"), ("de", "und"), ("de", "das"),
+]
+
+
+def q19_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    lw = spark.createDataFrame(_LANG_WORDS, "cand_lang string, word string")
+    votes = (
+        toks.join(F.broadcast(lw), toks.token == lw.word)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("votes").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("guess"), "votes")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("guess"), F.lit("und")).alias("guess"),
+            F.coalesce(F.col("votes"), F.lit(0)).alias("votes"),
+        )
+    )
+
+
+_LANG_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _LANG_WORDS)
+
+Q19_SQL = f"""
+WITH lw(cand_lang, word) AS (VALUES {_LANG_VALUES}),
+toks AS (SELECT doc_id, unnest({_TOK_LIST_SQL}) AS token FROM documents),
+votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM toks JOIN lw ON token = word GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, cand_lang AS guess, votes,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY votes DESC, cand_lang ASC) AS rn
+  FROM votes)
+SELECT d.doc_id, d.lang,
+       COALESCE(b.guess, 'und') AS guess,
+       COALESCE(b.votes, 0) AS votes
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+# ==========================================================================
+# Embedding similarity search + IR metrics (J14/M7/T1/A10)
+#
+# Cross-engine float determinism: embeddings are quantized to
+# round(x * 1e6) BIGINTs. Integer dot products / norms stay < 2^53, so every
+# accumulation order yields the same exact value; the final cosine is one
+# double division — bit-identical in both engines.
+# ==========================================================================
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+_KNN_CTE = f"""
+vecs AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
+norms AS (
+  SELECT vec_id, label, q,
+         list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM vecs),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+         a.label AS query_label, b.label AS candidate_label,
+         CAST(list_sum(list_transform(range(1, 65),
+                       i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS sim
+  FROM norms a JOIN norms b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % 10 = 0),
+ranked AS (
+  SELECT query_id, candidate_id, query_label, candidate_label,
+         round(sim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, candidate_id ASC) AS rnk
+  FROM scored)
+"""
+
+
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    vecs = emb.select("vec_id", "label", q.alias("q"))
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return vecs.withColumn("nq", nq)
+
+
+def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    vecs = _quantized_vecs(spark, sf_dir)
+    a = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("candidate_label"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "candidate_id",
+            "query_label",
+            "candidate_label",
+            F.round("sim", 6).alias("sim"),
+            "rnk",
+        )
+    )
+
+
+def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (every 10th vector queries all)."""
+    return _knn_topk(spark, sf_dir, 5).select(
+        "query_id", "candidate_id", "rnk", "sim"
+    )
+
+
+Q20_SQL = f"""
+WITH {_KNN_CTE.strip()}
+SELECT query_id, candidate_id, rnk, sim FROM ranked WHERE rnk <= 5
+"""
+
+
+def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metric aggregation (A10: evaluator.py:68-161) at k=5 over the kNN
+    results, relevance = same label. All per-query metric values are cast to
+    DECIMAL(18,12) before averaging so cross-engine sums are exact."""
+    topk = _knn_topk(spark, sf_dir, 5)
+    rel = topk.withColumn(
+        "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
+    )
+    # total relevant per query in full candidate pool (for recall/ndcg)
+    vecs = _quantized_vecs(spark, sf_dir)
+    nrel = (
+        vecs.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(
+            vecs.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
+            F.col("cid") != F.col("query_id"),
+        )
+        .filter(F.col("ql") == F.col("cl"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    dec = "decimal(18,12)"
+    cum_w = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rel = rel.withColumn("cum_rel", F.sum("rel").over(cum_w))
+    per_q = (
+        rel.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("rel"))).alias("acc1"),
+            F.sum("rel").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    (F.lit(1.0) / F.log2(F.col("rnk") + 1)).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    (F.col("cum_rel").cast("double") / F.col("rnk")).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("ap_num"),
+        )
+        .join(nrel, "query_id", "left")
+        .na.fill({"n_rel": 0})
+    )
+    ideal = F.when(F.col("n_rel") >= 5, F.lit(None)).otherwise(F.col("n_rel"))
+    # idcg for m ideal hits: sum_{i=1..min(m,5)} 1/log2(i+1), as exact decimal
+    idcg_terms = [float(1.0) for _ in range(1)]  # placeholder, built below
+    import math as _math
+
+    def _idcg(m: int) -> float:
+        return sum(1.0 / _math.log2(i + 1) for i in range(1, m + 1))
+
+    idcg_col = (
+        F.when(F.least(F.col("n_rel"), F.lit(5)) == 1, F.lit(round(_idcg(1), 12)))
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 2, F.lit(round(_idcg(2), 12)))
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 3, F.lit(round(_idcg(3), 12)))
+        .when(F.least(F.col("n_rel"), F.lit(5)) == 4, F.lit(round(_idcg(4), 12)))
+        .when(F.least(F.col("n_rel"), F.lit(5)) >= 5, F.lit(round(_idcg(5), 12)))
+        .otherwise(F.lit(None))
+    )
+    per_q = per_q.select(
+        "query_id",
+        F.coalesce(F.col("acc1"), F.lit(0)).alias("acc1"),
+        "hits",
+        F.col("n_rel"),
+        F.coalesce(
+            (F.lit(1.0) / F.col("first_rel")).cast(dec), F.lit(0).cast(dec)
+        ).alias("rr"),
+        F.coalesce(
+            (F.col("dcg").cast("double") / idcg_col).cast(dec),
+            F.lit(0).cast(dec),
+        ).alias("ndcg"),
+        F.coalesce(
+            (
+                F.col("ap_num").cast("double")
+                / F.least(F.col("n_rel"), F.lit(5)).cast("double")
+            ).cast(dec),
+            F.lit(0).cast(dec),
+        ).alias("ap"),
+        F.coalesce(
+            (
+                F.col("hits").cast("double") / F.col("n_rel").cast("double")
+            ).cast(dec),
+            F.lit(0).cast(dec),
+        ).alias("recall"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("acc1").cast("double") / F.count("*"), 6).alias("accuracy_at_1"),
+        F.round(
+            F.sum("hits").cast("double") / (5.0 * F.count("*")), 6
+        ).alias("precision_at_5"),
+        F.round(F.sum("recall").cast("double") / F.count("*"), 6).alias(
+            "recall_at_5"
+        ),
+        F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr_at_5"),
+        F.round(F.sum("ndcg").cast("double") / F.count("*"), 6).alias("ndcg_at_5"),
+        F.round(F.sum("ap").cast("double") / F.count("*"), 6).alias("map_at_5"),
+    )
+
+
+_IDCG_CASE = (
+    "CASE WHEN least(n_rel, 5) = 1 THEN 1.0 "
+    "WHEN least(n_rel, 5) = 2 THEN 1.630929753571 "
+    "WHEN least(n_rel, 5) = 3 THEN 2.130929753571 "
+    "WHEN least(n_rel, 5) = 4 THEN 2.561606244208 "
+    "WHEN least(n_rel, 5) >= 5 THEN 2.948459118879 "
+    "ELSE NULL END"
+)
+
+Q21_SQL = f"""
+WITH {_KNN_CTE.strip()},
+topk AS (
+  SELECT query_id, candidate_id, rnk,
+         CASE WHEN query_label = candidate_label THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rnk <= 5),
+nrel AS (
+  SELECT a.vec_id AS query_id, COUNT(*) AS n_rel
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id <> a.vec_id AND a.label = b.label
+  WHERE a.vec_id % 10 = 0
+  GROUP BY 1),
+cum AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum_rel
+  FROM topk),
+per_q AS (
+  SELECT t.query_id,
+         COALESCE(MAX(CASE WHEN rnk = 1 THEN rel END), 0) AS acc1,
+         SUM(rel) AS hits,
+         COALESCE(n.n_rel, 0) AS n_rel,
+         COALESCE(CAST(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS rr,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(1.0 / log2(rnk + 1) AS DECIMAL(18,12))
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(CAST(cum_rel AS DOUBLE) / rnk AS DECIMAL(18,12))
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS ap_num
+  FROM cum t LEFT JOIN nrel n ON t.query_id = n.query_id
+  GROUP BY t.query_id, n.n_rel),
+fin AS (
+  SELECT query_id, acc1, hits, n_rel, rr,
+         COALESCE(CAST(CAST(dcg AS DOUBLE) / ({_IDCG_CASE})
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ndcg,
+         COALESCE(CAST(CAST(ap_num AS DOUBLE) / CAST(least(n_rel, 5) AS DOUBLE)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ap,
+         COALESCE(CAST(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS recall
+  FROM per_q)
+SELECT COUNT(*) AS n_queries,
+       round(CAST(SUM(acc1) AS DOUBLE) / COUNT(*), 6) AS accuracy_at_1,
+       round(CAST(SUM(hits) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS precision_at_5,
+       round(CAST(SUM(recall) AS DOUBLE) / COUNT(*), 6) AS recall_at_5,
+       round(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr_at_5,
+       round(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6) AS ndcg_at_5,
+       round(CAST(SUM(ap) AS DOUBLE) / COUNT(*), 6) AS map_at_5
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22  IVF-style bucketed ANN (scale path): coarse-quantize to per-label
+#      centroids, search only within the assigned bucket
+# --------------------------------------------------------------------------
+
+
+def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _quantized_vecs(spark, sf_dir)
+    # centroids: elementwise mean of quantized vectors per label, requantized
+    cent = (
+        vecs.select("label", F.posexplode("q").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .withColumn("cv", F.round(F.col("s").cast("double") / F.col("c")).cast("long"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pairs"), lambda p: p["cv"]).alias("cq"),
+        )
+    )
+    ncq = F.aggregate(
+        F.transform(F.col("cq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cent = cent.withColumn("ncq", ncq)
+    dot_c = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim_c = dot_c.cast("double") / F.sqrt(
+        F.col("nq").cast("double") * F.col("ncq").cast("double")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_c)
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "label", "q", "nq", F.col("c_label").alias("bucket"))
+    )
+    a = assigned.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+        "bucket",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "candidate_id", "rnk", F.round("sim", 6).alias("sim"))
+    )
+
+
+Q22_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
+norms AS (
+  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM vecs),
+cent_el AS (
+  SELECT label, i, CAST(round(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+  GROUP BY label, i),
+cent AS (
+  SELECT label AS c_label, array_agg(cv ORDER BY i) AS cq
+  FROM cent_el GROUP BY label),
+cent_n AS (
+  SELECT c_label, cq, list_sum(list_transform(cq, x -> x * x)) AS ncq FROM cent),
+assigned AS (
+  SELECT vec_id, label, q, nq, c_label AS bucket FROM (
+    SELECT v.vec_id, v.label, v.q, v.nq, c.c_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                           i -> v.q[i] * c.cq[i])) AS DOUBLE)
+                      / sqrt(CAST(v.nq AS DOUBLE) * CAST(c.ncq AS DOUBLE)) DESC,
+                      c.c_label ASC) AS crn
+    FROM norms v CROSS JOIN cent_n c) t
+  WHERE crn = 1),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                       i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % 10 = 0)
+SELECT query_id, candidate_id, rnk, sim FROM (
+  SELECT query_id, candidate_id, round(sim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, candidate_id ASC) AS rnk
+  FROM scored) t
+WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q23  transitive ancestor closure (J8: DAG chains 3_2b...py:473-532)
+# --------------------------------------------------------------------------
+
+
+def q23_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.operators.graph import (
+        transitive_ancestors,
+    )
+
+    part = load(spark, sf_dir, "part")
+    edges = (
+        part.selectExpr("p_partkey as child", "p_partkey div 7 as parent")
+        .filter("parent >= 1 and parent <> child")
+        .dropDuplicates()
+    )
+    return transitive_ancestors(edges).select("node", "ancestor")
+
+
+Q23_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 7 AS parent
+  FROM part WHERE p_partkey // 7 >= 1 AND p_partkey // 7 <> p_partkey),
+anc(node, ancestor) AS (
+  SELECT child, parent FROM edges
+  UNION
+  SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child)
+SELECT DISTINCT node, ancestor FROM anc
+"""
+
+
+# --------------------------------------------------------------------------
+# Q24  connected components (clustering core) on a derived bipartite graph
+# --------------------------------------------------------------------------
+
+
+def q24_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.operators.clustering import (
+        connected_components,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.selectExpr(
+        "o_custkey % 40 as id_a", "40 + o_orderkey % 40 as id_b"
+    ).dropDuplicates()
+    return connected_components(edges).select(
+        F.col("rid").alias("node"), "component"
+    )
+
+
+Q24_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey % 40 AS a, 40 + o_orderkey % 40 AS b FROM orders),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(s, n) AS (
+  SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym) nodes(a)
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON r.n = y.a)
+SELECT s AS node, MIN(n) AS component FROM reach GROUP BY s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q25  transcript derivation + canonicalization (input_hint shape; T6 stable
+#      turn ordering) from the events stream
+# --------------------------------------------------------------------------
+
+_ROLE_CASE_SPARK = (
+    "CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user' "
+    "WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant' "
+    "ELSE 'tool' END"
+)
+
+
+def q25_transcripts_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.expr(_ROLE_CASE_SPARK).alias("role"),
+        canonicalize_text(
+            F.concat(F.lit("event "), F.col("event_type"), F.lit(" props "), F.col("props"))
+        ).alias("text"),
+        F.when(F.expr(_ROLE_CASE_SPARK) == "tool", F.col("event_type"))
+        .otherwise(F.lit(""))
+        .alias("tool"),
+        "ts",
+    )
+    return df
+
+
+Q25_SQL = """
+SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+            AS INT) AS turn_idx,
+       CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
+            WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
+            ELSE 'tool' END AS role,
+       trim(regexp_replace(regexp_replace(
+            'event ' || event_type || ' props ' || props,
+            '[\\n\\r\\t]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text,
+       CASE WHEN (CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
+                  WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
+                  ELSE 'tool' END) = 'tool' THEN event_type ELSE '' END AS tool,
+       ts
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Q26  flagship: near-duplicate ER clustering over the perturbed documents
+#      corpus — blocking (MinHash bands) -> exact Jaccard >= 0.6 ->
+#      transitive clustering (hash-min CC) -> (doc_id, cluster_id)
+# --------------------------------------------------------------------------
+
+
+def q26_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = q14_lsh_dedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    nodes = _perturbed_corpus(spark, sf_dir).select(F.col("doc_id").alias("rid"))
+    return connected_components(edges, nodes=nodes).select(
+        F.col("rid").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+Q26_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE.strip()},
+{_SHINGLE_CTE.strip()},
+sig AS (
+  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS minhash
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing) ex
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h),
+bands AS (
+  SELECT doc_id, 'b' || CAST(h // 2 AS VARCHAR) || '|'
+         || string_agg(minhash, '|' ORDER BY h) AS bk
+  FROM sig GROUP BY doc_id, h // 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN shing sa ON sa.doc_id = id_a
+  JOIN shing sb ON sb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
+        >= 0.6),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(s, n) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON r.n = y.a)
+SELECT s AS doc_id, MIN(n) AS cluster_id FROM reach GROUP BY s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q27  sessionization (gap > 30 min) over events
+# --------------------------------------------------------------------------
+
+
+def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet gives TIMESTAMP_NTZ; session TZ is pinned UTC so this cast is
+    # wall-clock-preserving and matches DuckDB's naive epoch()
+    ep = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 1000000
+    ).cast("long")
+    df = ev.withColumn("ep", ep).withColumn(
+        "gap", F.col("ep") - F.lag("ep").over(w)
+    )
+    brk = F.when(F.col("gap").isNull() | (F.col("gap") <= 1800), 0).otherwise(1)
+    return (
+        df.withColumn("brk", brk)
+        .withColumn(
+            "session_idx",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "event_id", "session_idx")
+    )
+
+
+Q27_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, event_id,
+       SUM(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM g
+"""
+
+
+# ==========================================================================
+# registry
+# ==========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_topk_per_group": q02_topk_per_group,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_semi_join": q04_semi_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_last_event_per_user": q06_last_event_per_user,
+    "q07_dedupe_exact": q07_dedupe_exact,
+    "q08_canonicalize": q08_canonicalize,
+    "q09_active_flag": q09_active_flag,
+    "q10_best_order_per_cust": q10_best_order_per_cust,
+    "q11_row_hash": q11_row_hash,
+    "q12_jaccard_pairs": q12_jaccard_pairs,
+    "q13_minhash_signature": q13_minhash_signature,
+    "q14_lsh_dedup_pairs": q14_lsh_dedup_pairs,
+    "q15_simhash": q15_simhash,
+    "q16_fingerprint": q16_fingerprint,
+    "q17_token_stats": q17_token_stats,
+    "q18_quality_score": q18_quality_score,
+    "q19_lang_guess": q19_lang_guess,
+    "q20_ann_topk": q20_ann_topk,
+    "q21_knn_ir_metrics": q21_knn_ir_metrics,
+    "q22_ann_ivf": q22_ann_ivf,
+    "q23_graph_closure": q23_graph_closure,
+    "q24_connected_components": q24_connected_components,
+    "q25_transcripts_canonical": q25_transcripts_canonical,
+    "q26_er_clusters": q26_er_clusters,
+    "q27_sessionize": q27_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_topk_per_group": Q02_SQL,
+    "q03_region_revenue": Q03_SQL,
+    "q04_semi_join": Q04_SQL,
+    "q05_anti_join": Q05_SQL,
+    "q06_last_event_per_user": Q06_SQL,
+    "q07_dedupe_exact": Q07_SQL,
+    "q08_canonicalize": Q08_SQL,
+    "q09_active_flag": Q09_SQL,
+    "q10_best_order_per_cust": Q10_SQL,
+    "q11_row_hash": Q11_SQL,
+    "q12_jaccard_pairs": Q12_SQL,
+    "q13_minhash_signature": Q13_SQL,
+    "q14_lsh_dedup_pairs": Q14_SQL,
+    "q15_simhash": Q15_SQL,
+    "q16_fingerprint": Q16_SQL,
+    "q17_token_stats": Q17_SQL,
+    "q18_quality_score": Q18_SQL,
+    "q19_lang_guess": Q19_SQL,
+    "q20_ann_topk": Q20_SQL,
+    "q21_knn_ir_metrics": Q21_SQL,
+    "q22_ann_ivf": Q22_SQL,
+    "q23_graph_closure": Q23_SQL,
+    "q24_connected_components": Q24_SQL,
+    "q25_transcripts_canonical": Q25_SQL,
+    "q26_er_clusters": Q26_SQL,
+    "q27_sessionize": Q27_SQL,
+}
