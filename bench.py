@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode (what the driver runs per-round):
+    python bench.py
+  runs every ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR`` (default
+  /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+  prints ONE JSON line:
+    {"metric": "battery_total", "value": <sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+  Each query is forced with a ``noop`` write (full plan executes, zero sink
+  cost, no driver collect skew).
+
+Scaling mode (north rule: throughput at N vs 4N parallelism):
+    python bench.py --scaling
+  materializes the bench-scale synthetic transcript corpus to parquet once,
+  then runs the full ER pipeline (canonicalize -> block -> score -> cluster)
+  over the SAME input in two fresh subprocesses at local[8] and local[32],
+  reports turns/sec at both plus scaling efficiency
+  (= (tps@32 / tps@8) / 4), and rewrites BENCH/BASELINE.md.
+
+Internal: ``python bench.py --er-run <master> <turns_parquet>`` executes one
+ER run and prints a single JSON line (used by --scaling subprocesses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BENCH_CONF = {
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_battery() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from tabiya_livelihoods_classifier_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf=BENCH_CONF,
+    )
+
+    queries = entry.queries()
+    # warmup: JVM/codegen/Arrow + page-cache the parquet footers
+    queries["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "battery_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+def run_er_once(master: str, turns_parquet: str) -> int:
+    """One ER pipeline run; prints {"turns": n, "wall_s": w, "tps": t}."""
+    from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
+    from tabiya_livelihoods_classifier_spark.session import get_spark
+
+    cores = int(re.search(r"\[(\d+)\]", master).group(1))
+    spark = get_spark(
+        app_name=f"er-bench-{cores}",
+        master=master,
+        shuffle_partitions=max(cores, 8),
+        extra_conf=BENCH_CONF,
+    )
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
+    turns = spark.read.parquet(turns_parquet)
+    n_turns = turns.count()  # warms input outside the timed window
+
+    t0 = time.perf_counter()
+    stages = er_pipeline(spark, turns)
+    n_clusters = stages["clusters"].count()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "turns": n_turns,
+                "clusters": n_clusters,
+                "wall_s": round(wall, 3),
+                "tps": round(n_turns / wall, 1),
+                "master": master,
+            }
+        )
+    )
+    return 0
+
+
+def run_scaling() -> int:
+    from tabiya_livelihoods_classifier_spark.data.transcripts import (
+        generate_transcripts,
+    )
+
+    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench")
+    tmp = tempfile.mkdtemp(prefix="er-scaling-")
+    turns_pq = str(Path(tmp) / "turns.parquet")
+    turns, _gold = generate_transcripts(scale)
+    # 32 files so local[32] reads with full parallelism from the scan on
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(turns, preserve_index=False)
+    n_files = 32
+    rows = table.num_rows
+    Path(turns_pq).mkdir(parents=True)
+    step = (rows + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{turns_pq}/part-{i:05d}.parquet")
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--er-run",
+             f"local[{cores}]", turns_pq],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    tps8, tps32 = results[8]["tps"], results[32]["tps"]
+    eff = round((tps32 / tps8) / 4.0, 3)
+    summary = {
+        "metric": "er_scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            "er_local8_tps": tps8,
+            "er_local32_tps": tps32,
+            "er_local8_wall_s": results[8]["wall_s"],
+            "er_local32_wall_s": results[32]["wall_s"],
+        },
+        "sf": scale,
+    }
+    _write_bench_baseline(results, eff, scale)
+    print(json.dumps(summary))
+    return 0
+
+
+def _write_bench_baseline(results: dict, eff: float, scale: str) -> None:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    n_turns = results[8]["turns"]
+    md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
+
+North-rule evidence (no real cluster in this sandbox): the SAME ER job —
+canonicalize -> conversation records -> MinHash+composite blocking ->
+fused pairwise scoring (Arrow UDF) -> checkpointed hash-min connected
+components — over the SAME parquet input ({n_turns:,} turns, synthetic
+'{scale}' transcript corpus, 32 input files), run in fresh subprocesses at
+two parallelism levels standing in for N and 4N executors.
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['wall_s']} | {results[8]['tps']:,} |
+| local[32] (4N) | {results[32]['wall_s']} | {results[32]['tps']:,} |
+
+**Scaling efficiency (tps@4N / tps@N) / 4 = {eff}** (target >= 0.8).
+
+Clusters produced (identical at both levels): {results[8]['clusters']}
+vs {results[32]['clusters']}.
+
+Reproduce: `python bench.py --scaling` (env `SPARK_GRAFT_ER_SCALE`
+selects the corpus scale; default `bench` = 50k conversations).
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--er-run":
+        return run_er_once(sys.argv[2], sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        return run_scaling()
+    return run_battery()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,12 +100,18 @@ def cap_block_size(
         "block_key", F.ceil(F.col("n") / max_block_size).cast("int").alias("n_salt")
     )
     out = membership.join(F.broadcast(big), "block_key", "left")
+    # salt on (block_key, rid), NOT rid alone: an rid-only salt puts a record
+    # in the SAME sub-block of every oversized band, so a pair sacrificed in
+    # one band is sacrificed in all of them; per-block salts split each band
+    # differently and the other bands carry the recall.
     salted = F.when(
         F.col("n_salt").isNotNull(),
         F.concat_ws(
             "#",
             F.col("block_key"),
-            F.pmod(F.xxhash64(F.col("rid")), F.col("n_salt")).cast("string"),
+            F.pmod(
+                F.xxhash64(F.col("block_key"), F.col("rid")), F.col("n_salt")
+            ).cast("string"),
         ),
     ).otherwise(F.col("block_key"))
     return out.select(salted.alias("block_key"), "rid")
@@ -119,7 +125,9 @@ def candidate_pairs(membership: DataFrame) -> DataFrame:
     join on block_key.
     """
     a = membership.alias("a")
-    b = membership.alias("b")
+    # fact x fact self-join: shuffled-hash, never broadcast — the membership
+    # table is O(corpus); Spark's size estimate post-explode is unreliable.
+    b = membership.hint("shuffle_hash").alias("b")
     return (
         a.join(b, "block_key")
         .filter(F.col("a.rid") < F.col("b.rid"))

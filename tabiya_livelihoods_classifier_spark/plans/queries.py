@@ -402,7 +402,15 @@ shing AS (
 
 
 def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # single-row-group local parquet = 1 scan task; fan the corpus out so
+    # the tokenize/shingle/minhash pipelines downstream use every core (at
+    # real scale the input has thousands of splits and this shuffle of the
+    # raw docs is the cheapest exchange in the whole plan)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     near = (
         docs.filter(F.col("doc_id") % 3 == 0)
         .select(
@@ -425,10 +433,12 @@ def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_shingles(corpus: DataFrame) -> DataFrame:
-    ts = tokens(F.col("text"))
+    # bind tokens to an attribute FIRST: inside shingles' transform lambda a
+    # raw expression tree would be re-evaluated once per shingle index
+    # (regexp split per slice — quadratic in tokens), an attribute is not.
     return corpus.select(
-        "doc_id", "lang", shingles(ts, 3).alias("sh")
-    )
+        "doc_id", "lang", tokens(F.col("text")).alias("ts")
+    ).select("doc_id", "lang", shingles(F.col("ts"), 3).alias("sh"))
 
 
 # --------------------------------------------------------------------------
@@ -439,8 +449,11 @@ def _with_shingles(corpus: DataFrame) -> DataFrame:
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # fact x fact self-join: force shuffled-hash — broadcasting an exploded
+    # corpus is impossible at scale, and Spark's size estimate of the
+    # post-explode side is wildly low here.
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -489,12 +502,39 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0
 # --------------------------------------------------------------------------
 
 
+def _minhash_sig_relational(
+    spark: SparkSession, sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h, minhash): explode shingles x hash ids, min(md5) per (doc,h).
+
+    Identical result to the nested-HOF minhash_signature() but immune to
+    CollapseProject duplicating the shingle expression into all signature
+    columns, and shuffle-partial (map-side min) at scale.
+    """
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # one grouped min-aggregate per permutation over the EXPLODED shingles:
+    # same md5 count as a hashes-cross-join, but no 16x row materialization
+    # and the partial min happens map-side, so the shuffle carries only
+    # (doc_id, 16 hashes) — the wide-then-posexplode shape is the one that
+    # survives 100x scale.
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    wide = ex.groupBy("doc_id").agg(*aggs)
+    return (
+        wide.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])),
+        )
+        .withColumnRenamed("pos", "h")
+        .withColumnRenamed("col", "minhash")
+    )
+
+
 def q13_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
-    sig = minhash_signature(F.col("sh"), 16)
-    return sh.select(
-        "doc_id", F.posexplode(F.array(*sig)).alias("h", "minhash")
-    )
+    return _minhash_sig_relational(spark, sh, 16)
 
 
 Q13_SQL = f"""
@@ -514,16 +554,33 @@ GROUP BY doc_id, h
 
 def q14_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabiya_livelihoods_classifier_spark.functions.strsim import jaccard_expr
-    from tabiya_livelihoods_classifier_spark.operators.blocking import (
-        minhash_band_keys,
-    )
 
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
-    mem = sh.select(
-        "doc_id", F.explode(minhash_band_keys(F.col("sh"), 16, 2)).alias("bk")
+    # band keys built relationally from the exploded signature (same reason
+    # as q13: a 16-column HOF signature invites expression duplication).
+    # Key format matches operators.blocking.minhash_band_keys: 'b{band}|h0|h1'.
+    sig = _minhash_sig_relational(spark, sh, 16)
+    mem = (
+        sig.groupBy("doc_id", (F.col("h") / 2).cast("int").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda x: x["minhash"],
+                ),
+                "|",
+            ).alias("hashes")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "|", F.concat(F.lit("b"), F.col("band").cast("string")),
+                F.col("hashes"),
+            ).alias("bk"),
+        )
     )
     a = mem.alias("a")
-    b = mem.alias("b")
+    b = mem.hint("shuffle_hash").alias("b")  # fact x fact: never broadcast
     pairs = (
         a.join(b, "bk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -578,7 +635,9 @@ WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
     )
@@ -732,7 +791,9 @@ _LANG_WORDS = [
 
 
 def q19_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     lw = spark.createDataFrame(_LANG_WORDS, "cand_lang string, word string")
     votes = (
@@ -816,7 +877,11 @@ ranked AS (
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # fan the vectors across all cores: single-file scan = 1 task, and every
+    # consumer streams these rows through dot-product crossJoins
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     q = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1000000).cast("long"),

@@ -1,0 +1,77 @@
+"""T-resume: kill after stage-k commit, rerun, identical final clusters and
+exactly-once lineage (north rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tabiya_livelihoods_classifier_spark.config import ERConfig
+from tabiya_livelihoods_classifier_spark.data.transcripts import TRANSCRIPT_SCHEMA
+from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
+from tabiya_livelihoods_classifier_spark.plans.resumable import (
+    StageFailure,
+    run_resumable,
+)
+from tabiya_livelihoods_classifier_spark.storage import StageStore
+
+
+def test_kill_rerun_resumes_and_matches(spark, xs_corpus, tmp_path):
+    turns_pd, _gold = xs_corpus
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPT_SCHEMA)
+    store = StageStore(spark, tmp_path / "store")
+    cfg = ERConfig()
+
+    # run 1: dies right after the 'pairs' commit
+    with pytest.raises(StageFailure):
+        run_resumable(
+            spark, turns, store, cfg, input_id="xs", fail_after="pairs"
+        )
+    for st in ("canon", "records", "membership", "pairs"):
+        assert (store.root / st / "MANIFEST.json").exists(), st
+    for st in ("scored", "edges", "clusters"):
+        assert not (store.root / st).exists(), st
+
+    # run 2: resumes — recomputes ONLY the un-committed stages
+    out = run_resumable(spark, turns, store, cfg, input_id="xs")
+    assert out["_computed"] == ["scored", "edges", "clusters"]
+
+    resumed = {r.rid: r.component for r in out["clusters"].collect()}
+    fresh = {
+        r.rid: r.component
+        for r in er_pipeline(spark, turns, cfg)["clusters"].collect()
+    }
+    assert resumed == fresh
+
+    # exactly-once lineage: per-partition rows sum to the manifest row count
+    for st in ("canon", "records", "membership", "pairs", "scored",
+               "edges", "clusters"):
+        mf = store.manifest(st)
+        lin = store.lineage(st).collect()
+        assert sum(r.rows for r in lin) == mf["rows"], st
+        assert len({r.partition_file for r in lin}) == len(lin), st
+        assert all(r.params_hash == mf["params_hash"] for r in lin), st
+
+    # metrics table has one row per stage
+    stages = [m["stage"] for m in store.metrics()]
+    assert sorted(stages) == sorted(
+        ["canon", "records", "membership", "pairs", "scored", "edges",
+         "clusters"]
+    )
+
+
+def test_config_change_invalidates_downstream(spark, xs_corpus, tmp_path):
+    turns_pd, _gold = xs_corpus
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPT_SCHEMA)
+    store = StageStore(spark, tmp_path / "store2")
+    run_resumable(spark, turns, store, ERConfig(), input_id="xs")
+
+    # a different threshold must dirty EVERY stage's hash chain (the chain
+    # includes the full config), so nothing stale is ever served
+    out = run_resumable(
+        spark, turns, store, ERConfig(match_threshold=0.9), input_id="xs"
+    )
+    assert out["_computed"] == list(
+        ("canon", "records", "membership", "pairs", "scored", "edges",
+         "clusters")
+    )

@@ -1,0 +1,66 @@
+"""T-skew: salting caps oversized blocks' pair counts; pipeline results are
+unchanged on the golden corpus when a tight cap forces salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabiya_livelihoods_classifier_spark.config import ERConfig
+from tabiya_livelihoods_classifier_spark.data.transcripts import TRANSCRIPT_SCHEMA
+from tabiya_livelihoods_classifier_spark.operators.blocking import (
+    candidate_pairs,
+    cap_block_size,
+)
+from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
+
+
+def test_salting_caps_hot_block(spark):
+    # one pathological hot key: 400 records in a single block
+    rows = [("hot", f"r{i:04d}") for i in range(400)] + [
+        ("cold", f"r{i:04d}") for i in range(10)
+    ]
+    membership = spark.createDataFrame(rows, "block_key string, rid string")
+    capped = cap_block_size(membership, max_block_size=50)
+
+    sizes = {
+        r.block_key: r.n
+        for r in capped.groupBy("block_key").agg(F.count("*").alias("n")).collect()
+    }
+    # hot split into ceil(400/50)=8 salted sub-blocks, none wildly above cap
+    hot_sizes = [n for k, n in sizes.items() if k.startswith("hot#")]
+    assert len(hot_sizes) == 8
+    assert sum(hot_sizes) == 400
+    assert max(hot_sizes) <= 2 * 50  # xxhash64 spread, generous bound
+    assert sizes["cold"] == 10  # cold block untouched
+
+    # pair count bounded: 8 * C(~50,2) << C(400,2)
+    n_pairs = candidate_pairs(capped).count()
+    assert n_pairs < 0.25 * (400 * 399) / 2
+    # salted pairs are a subset of unsalted pairs (no fabricated candidates)
+    unsalted = {
+        (r.id_a, r.id_b) for r in candidate_pairs(membership).collect()
+    }
+    salted = {(r.id_a, r.id_b) for r in candidate_pairs(capped).collect()}
+    assert salted <= unsalted
+
+
+def test_tight_cap_preserves_f1(spark, xs_corpus):
+    from tabiya_livelihoods_classifier_spark.plans.evaluate import (
+        labeled_pairs_from_gold,
+        pairwise_f1,
+    )
+
+    turns_pd, gold = xs_corpus
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPT_SCHEMA)
+    # cap BELOW the natural same-entity block size (5 on xs) — salting
+    # engages on every block. Per-(block_key, rid) salts split each band
+    # differently, so the 8 bands + composite key carry recall and the
+    # F1 gate still holds even under pathological over-salting.
+    tight = {
+        r.rid: r.component
+        for r in er_pipeline(
+            spark, turns, ERConfig(max_block_size=4)
+        )["clusters"].collect()
+    }
+    f1 = pairwise_f1(tight, labeled_pairs_from_gold(gold))
+    assert f1.f1 >= 0.99, f1
