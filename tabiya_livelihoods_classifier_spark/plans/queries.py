@@ -448,7 +448,12 @@ def _with_shingles(corpus: DataFrame) -> DataFrame:
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # carry |sh| through the explode so no join back to a sizes table is
+    # needed: the pair aggregation picks it up with first() for free (the
+    # shuffle widens by one int column vs two whole extra shuffle joins).
+    exploded = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
     # fact x fact self-join: force shuffled-hash — broadcasting an exploded
     # corpus is impossible at scale, and Spark's size estimate of the
     # post-explode side is wildly low here.
@@ -458,13 +463,14 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")

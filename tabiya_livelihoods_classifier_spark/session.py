@@ -59,6 +59,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Iterative connected-components checkpoints truncate lineage here.
         .config("spark.checkpoint.compress", "true")
+        # InferFiltersFromGenerate infers `size(x)>0 AND isnotnull(x)` from
+        # every explode and pushes it below exchanges, INLINING the generator
+        # input expression into the filter. Our generator inputs are expensive
+        # computed columns (tokenize->shingle trees), so the rule re-evaluates
+        # them 3x per row on the pre-shuffle (often single-split) side —
+        # measured 6-13x slowdown on the shingle/minhash family at sf0.1.
+        # Exploded shingle arrays are never null/empty here, so the inferred
+        # filter buys nothing.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
