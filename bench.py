@@ -132,6 +132,8 @@ def run_scaling() -> int:
     tmp = tempfile.mkdtemp(prefix="er-scaling-")
     turns_pq = str(Path(tmp) / "turns.parquet")
     turns, _gold = generate_transcripts(scale)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microsecond ts
+    turns["ts"] = turns["ts"].astype("datetime64[us]")
     # 32 files so local[32] reads with full parallelism from the scan on
     import pyarrow as pa
     import pyarrow.parquet as pq

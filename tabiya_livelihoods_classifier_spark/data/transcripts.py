@@ -101,6 +101,12 @@ def entity_phrases(n: int, rng: random.Random) -> list[str]:
             if c not in seen:
                 seen.add(c)
                 phrases.append(c)
+        # beyond the 12^3 product space, append numbered grade variants so
+        # any n is supported (bench scale asks for more entities than combos)
+        k = 0
+        while len(phrases) < n:
+            phrases.append(f"{combos[k % len(combos)]} grade {k // len(combos) + 2}")
+            k += 1
     return phrases
 
 

@@ -641,32 +641,34 @@ WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One md5 per token, then a single WIDE aggregate: 32 +/-1 bit-sum columns
+    # accumulated map-side (partial agg), so the shuffle carries exactly one
+    # 32-column row per doc per mapper. The naive shape — crossJoin with a
+    # 32-row k table — re-hashes every token 32x and shuffles a 32x-exploded
+    # fact; this shape survives a 100x scale-up, that one doesn't.
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
-    )
-    ks = spark.range(32).select(F.col("id").cast("int").alias("k"))
-    bits = (
-        toks.crossJoin(ks)
-        .selectExpr(
-            "doc_id",
-            "k",
-            "shiftright(cast(conv(substring(md5(token), cast(k div 4 as int) + 1, 1),"
-            " 16, 10) as int), cast(k % 4 as int)) % 2 as bit",
-        )
-        .selectExpr("doc_id", "k", "2 * bit - 1 as w")
-        .groupBy("doc_id", "k")
-        .agg(F.sum("w").alias("s"))
-        .selectExpr(
-            "doc_id",
-            "case when s > 0 then shiftleft(cast(1 as bigint), k) else 0 end as bitval",
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
-    return bits
+    ).select("doc_id", F.md5("token").alias("hx"))
+    aggs = [
+        F.sum(
+            F.expr(
+                f"2 * (shiftright(cast(conv(substring(hx, {k // 4 + 1}, 1), 16, 10)"
+                f" as int), {k % 4}) % 2) - 1"
+            )
+        ).alias(f"s{k}")
+        for k in range(32)
+    ]
+    wide = toks.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for k in range(32):
+        bitval = F.when(
+            F.col(f"s{k}") > 0, F.shiftleft(F.lit(1).cast("bigint"), k)
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bitval if simhash is None else simhash + bitval
+    return wide.select("doc_id", simhash.alias("simhash"))
 
 
 Q15_SQL = f"""
@@ -1452,6 +1454,331 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# Q28  scalar-enrichment family (P7-P12, P14): digit strip, numeric strip,
+#      full_details assembly, composite score, EQF parse — one codegen pass
+# --------------------------------------------------------------------------
+
+
+def q28_scalar_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.text import (
+        digits_only,
+        eqf_level,
+        numeric_strip,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    salary_raw = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(" ZAR"),
+    )
+    details = F.concat_ws(
+        "; ",
+        F.concat(F.lit("Name: "), F.col("c_name")),
+        F.concat(
+            F.lit("Segment: "),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("NA")),
+        ),
+        F.concat(F.lit("Nation: "), F.col("c_nationkey").cast("string")),
+    )
+    return cust.select(
+        "c_custkey",
+        digits_only("c_name").alias("ref_digits"),
+        numeric_strip(salary_raw).alias("salary"),
+        details.alias("full_details"),
+        (F.length(F.col("c_name")).cast("long") + F.col("c_custkey") * 1000).alias(
+            "composite_score"
+        ),
+        eqf_level(
+            F.concat(F.lit("EQF level "), (F.col("c_custkey") % 9).cast("string"))
+        ).alias("eqf"),
+    )
+
+
+Q28_SQL = """
+SELECT c_custkey,
+       CAST(regexp_replace(c_name, '\\D', '', 'g') AS BIGINT) AS ref_digits,
+       CAST(regexp_replace(CAST(c_custkey AS VARCHAR) || '.'
+            || CAST(c_nationkey AS VARCHAR) || ' ZAR', '[^0-9.]', '', 'g')
+            AS DOUBLE) AS salary,
+       concat_ws('; ', 'Name: ' || c_name,
+                 'Segment: ' || COALESCE(nullif(c_mktsegment, ''), 'NA'),
+                 'Nation: ' || CAST(c_nationkey AS VARCHAR)) AS full_details,
+       CAST(length(c_name) AS BIGINT) + c_custkey * 1000 AS composite_score,
+       COALESCE(TRY_CAST(substr('EQF level ' || CAST(c_custkey % 9 AS VARCHAR),
+                -1, 1) AS DOUBLE), 0.0) AS eqf
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Q29  merge-with-fill dedupe (A7): first non-null field per key under an
+#      explicit order — 3_2a...py:402-478's dict merge as one aggregate
+# --------------------------------------------------------------------------
+
+
+def q29_merge_fill_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # inject missing-ness: 'view' rows carry no usable props (the reference
+    # merges records where later occurrences fill fields the first left null)
+    usable = (F.col("event_type") != "view") & (F.col("props") != "")
+    first_props = F.min(
+        F.when(usable, F.struct("ts", "event_id", "props"))
+    )["props"]
+    return ev.groupBy("user_id").agg(
+        first_props.alias("first_props"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+Q29_SQL = """
+SELECT user_id,
+       (min(CASE WHEN event_type <> 'view' AND props <> ''
+            THEN struct_pack(ts := ts, event_id := event_id, props := props)
+            END)).props AS first_props,
+       count(*) AS n_events,
+       min(ts) AS first_ts
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q30  UUIDHISTORY handling (P7): newline-joined uuid lists — extract
+#      first/oldest + last/newest, count entries (3_2b...py:249-258)
+# --------------------------------------------------------------------------
+
+_UUID_FMT_SPARK = (
+    "concat(substr(md5(concat(p_name, ':', i)), 1, 8), '-', "
+    "substr(md5(concat(p_name, ':', i)), 9, 4), '-', "
+    "substr(md5(concat(p_name, ':', i)), 13, 4), '-', "
+    "substr(md5(concat(p_name, ':', i)), 17, 4), '-', "
+    "substr(md5(concat(p_name, ':', i)), 21, 12))"
+)
+
+
+def q30_uuid_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    hist = F.expr(
+        "array_join(transform(sequence(0, cast(p_partkey % 3 as int)), "
+        f"i -> {_UUID_FMT_SPARK}), '\\n')"
+    )
+    df = part.select("p_partkey", hist.alias("uuidhistory"))
+    parts_arr = F.split(F.col("uuidhistory"), "\n")
+    return df.select(
+        "p_partkey",
+        F.element_at(parts_arr, 1).alias("first_uuid"),
+        F.element_at(parts_arr, -1).alias("last_uuid"),
+        F.size(parts_arr).alias("n_uuids"),
+    )
+
+
+Q30_SQL = r"""
+WITH hist AS (
+  SELECT p_partkey,
+         array_to_string(list_transform(range(0, CAST(p_partkey % 3 AS INT) + 1),
+           i -> substr(md5(p_name || ':' || i), 1, 8) || '-'
+             || substr(md5(p_name || ':' || i), 9, 4) || '-'
+             || substr(md5(p_name || ':' || i), 13, 4) || '-'
+             || substr(md5(p_name || ':' || i), 17, 4) || '-'
+             || substr(md5(p_name || ':' || i), 21, 12)), chr(10))
+           AS uuidhistory
+  FROM part)
+SELECT p_partkey,
+       string_split(uuidhistory, chr(10))[1] AS first_uuid,
+       string_split(uuidhistory, chr(10))[-1] AS last_uuid,
+       len(string_split(uuidhistory, chr(10))) AS n_uuids
+FROM hist
+"""
+
+
+# --------------------------------------------------------------------------
+# Q31  compaction: last-wins by key (S12/A6) via sources.sinks
+# --------------------------------------------------------------------------
+
+
+def q31_compact_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.sources.sinks import (
+        compact_last_wins,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return compact_last_wins(
+        ev, keys=["user_id", "event_type"], order=[F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+Q31_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q32  multimodal metadata extraction: binary payload column -> Arrow-batched
+#      mapInPandas probe (functions/multimodal.py; decode itself is a
+#      deterministic stand-in, the plumbing is the production shape)
+# --------------------------------------------------------------------------
+
+
+def q32_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.multimodal import (
+        decode_media_meta,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_media_meta(media)
+
+
+Q32_SQL = """
+WITH d AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS nb
+           FROM documents),
+m AS (SELECT doc_id, nb, h,
+             CAST(('0x' || substr(h, 1, 1)) AS INT) % 4 AS fsel,
+             CAST(('0x' || substr(h, 2, 4)) AS INT) AS w4,
+             CAST(('0x' || substr(h, 6, 4)) AS INT) AS h4,
+             CAST(('0x' || substr(h, 10, 2)) AS INT) AS f2
+      FROM d)
+SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+       CASE fsel WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp'
+            ELSE 'gif' END AS format,
+       CAST(16 + w4 % 4080 AS INT) AS width,
+       CAST(16 + h4 % 2144 AS INT) AS height,
+       CAST(CASE WHEN fsel = 3 THEN 1 + f2 % 30 ELSE 1 END AS INT) AS n_frames
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Q33  built-in session_window sessionization (streaming/sessionize.py run
+#      in batch mode — identical code path serves the stream)
+# --------------------------------------------------------------------------
+
+
+def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.streaming.sessionize import (
+        session_stats,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_stats(ev, gap="30 minutes")
+
+
+Q33_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR
+                   LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# Q34  embedding-cosine near-duplicate pairs (dedup family, exact baseline;
+#      q22's IVF routing is the 100-TB path for the same predicate)
+# --------------------------------------------------------------------------
+
+
+def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # random embeddings have no near-dups (max pairwise cosine ~0.51), so a
+    # deterministic perturbed copy of every 4th vector supplies positives:
+    # scale + tiny uniform shift, exact-representable constants so both
+    # engines compute identical IEEE doubles before quantization
+    emb = load(spark, sf_dir, "embeddings")
+    near = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.lit("neardup").alias("label"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * 1.015625 + 0.0078125,
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(near)
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000000).cast("long")
+    )
+    vecs = corpus.select("vec_id", q.alias("q"))
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vecs = vecs.withColumn("nq", nq).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= 0.98)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+Q34_SQL = """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 1.015625 + 0.0078125)
+  FROM embeddings WHERE vec_id % 4 = 0),
+vecs AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM corpus),
+norms AS (
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM vecs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_sum(list_transform(range(1, 65),
+                 i -> a.q[i] * b.q[i])) AS DOUBLE)
+             / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6) AS sim
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE round(CAST(list_sum(list_transform(range(1, 65),
+            i -> a.q[i] * b.q[i])) AS DOUBLE)
+            / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6) >= 0.98
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1484,6 +1811,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_transcripts_canonical": q25_transcripts_canonical,
     "q26_er_clusters": q26_er_clusters,
     "q27_sessionize": q27_sessionize,
+    "q28_scalar_enrich": q28_scalar_enrich,
+    "q29_merge_fill_dedupe": q29_merge_fill_dedupe,
+    "q30_uuid_history": q30_uuid_history,
+    "q31_compact_last_wins": q31_compact_last_wins,
+    "q32_multimodal_meta": q32_multimodal_meta,
+    "q33_session_window": q33_session_window,
+    "q34_embedding_neardup": q34_embedding_neardup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1514,4 +1848,11 @@ ORACLE_SQL: dict[str, str] = {
     "q25_transcripts_canonical": Q25_SQL,
     "q26_er_clusters": Q26_SQL,
     "q27_sessionize": Q27_SQL,
+    "q28_scalar_enrich": Q28_SQL,
+    "q29_merge_fill_dedupe": Q29_SQL,
+    "q30_uuid_history": Q30_SQL,
+    "q31_compact_last_wins": Q31_SQL,
+    "q32_multimodal_meta": Q32_SQL,
+    "q33_session_window": Q33_SQL,
+    "q34_embedding_neardup": Q34_SQL,
 }
