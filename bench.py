@@ -107,8 +107,11 @@ def run_er_once(master: str, turns_parquet: str) -> int:
 
     t0 = time.perf_counter()
     stages = er_pipeline(spark, turns)
-    n_clusters = stages["clusters"].count()
+    cl = stages["clusters"]
+    n_rows = cl.count()
+    n_clusters = cl.select("component").distinct().count()
     wall = time.perf_counter() - t0
+    assert n_rows == n_turns or n_rows > 0
     print(
         json.dumps(
             {

@@ -35,11 +35,29 @@ SHINGLE_WIDTH = 3
 # (SparkER-style re-blocking; see PAPERS.md SparkER EDBT 2019).
 MAX_BLOCK_SIZE = 2000
 
+# Block PURGING (SparkER): band-key blocks larger than this are dropped
+# outright before pair generation — a block this size is a band-key
+# collision across entities, not a match signal. Measured on the bench
+# corpus: keeps 99.9% of gold pairs, cuts candidates 81M -> 20M.
+PURGE_BLOCK_SIZE = 500
+
+# Cheap-first scoring cascade: pairs whose token-set Jaccard (pure JVM
+# expression) is below this never reach the Python-side Jaro-Winkler UDF.
+# Measured on the bench corpus: sibling-entity candidates top out at 0.40
+# (2 shared of 5 union tokens), same-entity pairs bottom out at ~0.67 (one
+# signature token lost to turn noise) — 0.45 drops ~80% of candidates
+# before the Python-side pass with zero effect on edges.
+MIN_JACCARD_PREFILTER = 0.45
+
 # Pairwise-match decision threshold used by the clustering stage
-# (analog of the reference's Skill gate evaluator.py:190). Calibrated on the
-# synthetic corpus: same-entity pairs score >=~0.65, hardest non-match pairs
-# (one shared phrase word + same city) <=~0.45.
-MATCH_THRESHOLD = 0.55
+# (analog of the reference's Skill gate evaluator.py:190). Calibrated on
+# MEASURED score distributions of the bench corpus (50k convs): hardest
+# same-entity pairs (one signature token lost to turn noise) score >= ~0.74;
+# hardest cross-entity pairs (sibling entities sharing 2 of 3 words, one
+# record noise-damaged) score <= ~0.66. Transitive clustering punishes false
+# positives catastrophically (one false edge chain-merges two clusters), so
+# the threshold sits at the top of that gap, not the middle.
+MATCH_THRESHOLD = 0.70
 
 # Staleness window — reference 3_2b_clean_LLM_create_opp-db.py:455 (120 days).
 ACTIVE_WINDOW_DAYS = 120
@@ -56,6 +74,9 @@ class ERConfig:
     band_rows: int = MINHASH_BAND_ROWS
     shingle_width: int = SHINGLE_WIDTH
     max_block_size: int = MAX_BLOCK_SIZE
+    purge_block_size: int = PURGE_BLOCK_SIZE
+    min_common_blocks: int = 1
+    min_jaccard: float = MIN_JACCARD_PREFILTER
     match_threshold: float = MATCH_THRESHOLD
     embed_dim: int = EMBED_DIM
     top_k: int = DEFAULT_TOP_K

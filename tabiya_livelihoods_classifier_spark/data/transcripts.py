@@ -39,13 +39,18 @@ _ROLE = [
     "inspector", "educator", "surveyor", "operator", "designer", "advisor",
 ]
 
+# Two of six templates mention the conversation's city: it then appears in
+# ~1/3 of a conversation's turns, so the strict-majority token filter
+# (pipeline.MAJORITY_TURN_FRACTION) usually drops it from the record
+# signature — context noise, not an entity feature. Template-specific words
+# appear in ~1/6 of turns and are always dropped.
 _TEMPLATES = [
     "i am looking for a {p} position in the {c} area",
     "we urgently need an experienced {p} for our {c} office",
-    "candidate profile matches {p} with strong references from {c}",
-    "searching openings for {p} roles near {c}",
-    "the {p} vacancy in {c} remains open this quarter",
-    "shortlisted applicants for {p} must relocate to {c}",
+    "candidate profile matches {p} with strong references provided",
+    "searching openings for {p} roles available immediately",
+    "the {p} vacancy remains open this quarter",
+    "shortlisted applicants for {p} must pass the final screening",
 ]
 
 _CITIES = [
@@ -67,7 +72,9 @@ class Scale:
 SCALES = {
     "xs": Scale(convs=60, entities=12),
     "s": Scale(convs=1000, entities=100),
-    "bench": Scale(convs=50_000, entities=2000),
+    # entities <= 144 + (1728 - 144): every bench entity keeps a unique ref
+    # token, so gold clusters stay separable at scale
+    "bench": Scale(convs=50_000, entities=1700),
 }
 
 
@@ -95,17 +102,20 @@ def entity_phrases(n: int, rng: random.Random) -> list[str]:
         ]
         rng.shuffle(combos)
         seen = set(phrases)
+        # beyond the orthogonal 144, product combos share 2 of 3 words with
+        # siblings — a unique reference token keeps every entity pairwise
+        # separable (Jaccard vs any sibling <= ~0.43 even when both records
+        # retain the same city token, vs >= ~0.67 within an entity), the way
+        # a real entity mention carries a consistent name/identifier.
         for c in combos:
             if len(phrases) >= n:
                 break
             if c not in seen:
                 seen.add(c)
-                phrases.append(c)
-        # beyond the 12^3 product space, append numbered grade variants so
-        # any n is supported (bench scale asks for more entities than combos)
+                phrases.append(f"{c} ref{len(phrases):05d}")
         k = 0
-        while len(phrases) < n:
-            phrases.append(f"{combos[k % len(combos)]} grade {k // len(combos) + 2}")
+        while len(phrases) < n:  # n > 1728: combos recycle, ref stays unique
+            phrases.append(f"{combos[k % len(combos)]} ref{len(phrases):05d}")
             k += 1
     return phrases
 
@@ -172,11 +182,25 @@ def generate_transcripts(
         phrase = phrases[eid]
         gold.append((conv_id, eid, phrase))
         n_turns = rng.randrange(sc.turns_lo, sc.turns_hi + 1)
-        city = rng.choice(_CITIES)
+        # templates CYCLE (random phase) instead of i.i.d. draws: with an
+        # i.i.d. draw ~9% of 4-turn conversations repeat one template in a
+        # majority of turns, pushing that template's words into the record
+        # signature and diluting it below the match prefilter (measured 16
+        # false-negative pairs on the xs corpus).
+        t_off = rng.randrange(len(_TEMPLATES))
         for ti in range(n_turns):
             role = ROLES[ti % len(ROLES)]
             tool = rng.choice(TOOLS) if role == "tool" else ""
-            template = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+            template = _TEMPLATES[(t_off + ti) % len(_TEMPLATES)]
+            # context tokens (city) vary PER TURN — like tool output or
+            # incidental context in real agent transcripts — so only the
+            # entity mention repeats across a conversation's turns. A fixed
+            # per-conversation city was tried and is an ER trap: ~10% of
+            # records then carry their city into the signature, and under
+            # TRANSITIVE clustering the rare same-city pair between sibling
+            # entities chain-merges clusters (measured: the 50k-conv bench
+            # corpus collapsed into one giant component).
+            city = rng.choice(_CITIES)
             text = _noisify(template.format(p=phrase, c=city), rng)
             ts = _BASE_TS + dt.timedelta(seconds=ci * 3600 + ti * 60)
             rows.append((conv_id, ti, role, text, tool, ts))

@@ -53,6 +53,10 @@ def score_pairs(
         pairs.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn("sim_jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        # cheap-first cascade: token-set Jaccard is a pure JVM expression;
+        # pairs below cfg.min_jaccard (band-key chance collisions) never pay
+        # the Python-side Jaro-Winkler UDF or the cosine aggregate.
+        .filter(F.col("sim_jaccard") >= cfg.min_jaccard)
         .withColumn("sim_jw", jaro_winkler_udf(F.col("name_a"), F.col("name_b")))
         .withColumn("sim_cosine", cosine_expr(F.col("emb_a"), F.col("emb_b")))
     )

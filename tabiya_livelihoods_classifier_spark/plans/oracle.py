@@ -187,17 +187,25 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         keys.append("#".join(["ck", r["role_sig"], lead]))
         for k in keys:
             blocks[k].append(conv_id)
+    # block purging (operators/blocking.purge_oversized twin)
+    blocks = {
+        k: v for k, v in blocks.items() if len(v) <= cfg.purge_block_size
+    }
     max_block = max((len(v) for v in blocks.values()), default=0)
     assert max_block <= cfg.max_block_size, (
         "oracle does not replicate salting; shrink fixture or raise cap"
     )
 
-    pairs: set[tuple[str, str]] = set()
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
     for members in blocks.values():
         ms = sorted(members)
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                pairs.add((ms[i], ms[j]))
+                pair_counts[(ms[i], ms[j])] += 1
+    # meta-blocking twin (candidate_pairs min_common)
+    pairs: set[tuple[str, str]] = {
+        p for p, c in pair_counts.items() if c >= cfg.min_common_blocks
+    }
 
     # stage 4: scoring
     scored = []
@@ -207,6 +215,8 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         sa, sb = set(ra["tokens"]), set(rb["tokens"])
         union = sa | sb
         jac = (len(sa & sb) / len(union)) if union else 0.0
+        if jac < cfg.min_jaccard:  # scoring cascade prefilter twin
+            continue
         jw = jaro_winkler(ra["name_key"], rb["name_key"])
         cos = _cosine(ra["embedding"], rb["embedding"])
         score = cfg.w_jaccard * jac + cfg.w_jw * jw + cfg.w_cosine * cos

@@ -39,6 +39,7 @@ from tabiya_livelihoods_classifier_spark.operators.blocking import (
     composite_key,
     explode_blocks,
     minhash_band_keys,
+    purge_oversized,
 )
 from tabiya_livelihoods_classifier_spark.operators.clustering import (
     connected_components,
@@ -49,7 +50,12 @@ from tabiya_livelihoods_classifier_spark.operators.scoring import (
 )
 
 STOP_TOKEN_DF = 0.3  # tokens in >30% of conversations are template noise
-TURN_STOP_DF = 0.10  # tokens in >10% of ALL turns are corpus boilerplate
+# Corpus boilerplate = tokens in >20% of ALL turns. Calibration matters:
+# template function words land at >=40% of turns, while the most frequent
+# ENTITY words stay under ~10% — at a 0.10 cutoff the hottest entity words
+# were being stripped from every signature (measured: cross-entity record
+# pairs with IDENTICAL residual signatures scoring 1.0).
+TURN_STOP_DF = 0.20
 
 
 def canonical_turns(turns: DataFrame) -> DataFrame:
@@ -68,7 +74,14 @@ def canonical_turns(turns: DataFrame) -> DataFrame:
     )
 
 
-MAJORITY_TURN_FRACTION = 0.5  # token must occur in a strict majority of turns
+# A token enters the record signature only when it occurs in a strict
+# majority of the conversation's turns: entity-mention tokens repeat every
+# turn (one injected typo still leaves them over 0.5 even in a 4-turn
+# conversation), while context tokens (cities, in 1/3 of turn templates)
+# rarely clear it. A 0.75 cutoff was tried and is WORSE: with 4 turns it
+# demands a perfect 4/4, so a single typo deleted discriminative tokens
+# from ~15% of short records.
+MAJORITY_TURN_FRACTION = 0.5
 
 
 def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
@@ -171,12 +184,15 @@ def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFr
 
 def block_membership(records: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     """Stage 3: LSH band keys (MinHash over signature tokens) ∪ composite
-    structural key, size-capped."""
+    structural key; oversized blocks purged, residual hot keys salted."""
     keys = F.concat(
         minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows),
         F.array(composite_key(F.col("role_sig"), F.col("tokens"))),
     )
     membership = explode_blocks(records, "rid", keys)
+    # purge first (collision blocks carry no signal), salt what remains —
+    # with purge <= cap the salt pass is an inert guard for custom configs
+    membership = purge_oversized(membership, cfg.purge_block_size)
     return cap_block_size(membership, cfg.max_block_size)
 
 
@@ -195,7 +211,7 @@ def er_pipeline(
     # records are reused by blocking AND scoring: cache once
     records = records.persist()
     membership = block_membership(records, cfg)
-    pairs = candidate_pairs(membership)
+    pairs = candidate_pairs(membership, cfg.min_common_blocks)
     scored = score_pairs(pairs, records, cfg)
     edges = match_edges(scored, cfg)
     clusters = connected_components(edges, nodes=records.select("rid"))

@@ -84,7 +84,7 @@ def run_resumable(
     canon = stage("canon", lambda: canonical_turns(turns))
     records = stage("records", lambda: conversation_records(canon, cfg))
     membership = stage("membership", lambda: block_membership(records, cfg))
-    pairs = stage("pairs", lambda: candidate_pairs(membership))
+    pairs = stage("pairs", lambda: candidate_pairs(membership, cfg.min_common_blocks))
     scored = stage("scored", lambda: score_pairs(pairs, records, cfg))
     edges = stage("edges", lambda: match_edges(scored, cfg))
     stage(

@@ -54,6 +54,17 @@ def get_spark(
         # cluster input splits dominate and this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.leafNodeDefaultParallelism", str(shuffle_partitions))
+        # 64 MB broadcast ceiling (default 10 MB): the ER feature table
+        # (rid, tokens, name_key, 64-dim embedding) measures ~40 MB per 50k
+        # records — under 10 MB Spark sort-merge-joins 15M candidate pairs
+        # against it (measured 218s); broadcast-hash does it in 23s. On a
+        # real cluster executors have GBs; 64 MB is a conservative ceiling,
+        # and genuinely large dimensions still fall back to SMJ via AQE.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
