@@ -131,7 +131,7 @@ def run_scaling() -> int:
         generate_transcripts,
     )
 
-    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench")
+    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench4")
     tmp = tempfile.mkdtemp(prefix="er-scaling-")
     turns_pq = str(Path(tmp) / "turns.parquet")
     turns, _gold = generate_transcripts(scale)
@@ -205,7 +205,7 @@ Clusters produced (identical at both levels): {results[8]['clusters']}
 vs {results[32]['clusters']}.
 
 Reproduce: `python bench.py --scaling` (env `SPARK_GRAFT_ER_SCALE`
-selects the corpus scale; default `bench` = 50k conversations).
+selects the corpus scale; default `bench4` = 200k conversations).
 """
     (bench_dir / "BASELINE.md").write_text(md)
 

@@ -75,6 +75,12 @@ SCALES = {
     # entities <= 144 + (1728 - 144): every bench entity keeps a unique ref
     # token, so gold clusters stay separable at scale
     "bench": Scale(convs=50_000, entities=1700),
+    # scaling-evidence corpus: 4x conversations, same entity count — per-
+    # entity cliques grow ~16x so stage compute dominates fixed orchestration
+    # overhead and parallel speedup is measurable (Amdahl: at 50k convs the
+    # whole job is ~100s of which most is per-stage scheduling/broadcast
+    # latency that 4x cores cannot shrink)
+    "bench4": Scale(convs=200_000, entities=1700),
 }
 
 

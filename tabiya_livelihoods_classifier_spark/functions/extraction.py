@@ -1,0 +1,183 @@
+"""Entity extraction surface (SURVEY §2.8 M1-M5, §2.5 T2).
+
+The reference's extraction stack is a BERT token classifier followed by
+pure-function post-processing. The post-processing contracts are
+reimplemented here verbatim-in-semantics (NOT copied) and unit-tested
+against hand-derived fixtures; the model forward pass (M1/M2) is replaced
+by `rule_tagger`, a deterministic greedy dictionary tagger with the SAME
+output contract (BIO tags over tokens), so the whole chain runs in this
+sandbox with no downloads and is exactly reproducible. On a real cluster
+the rule tagger swaps for the transformer inside the same mapInPandas UDF.
+
+Reference contracts (file:line into /root/reference):
+  M3 fix_bio_tags                 inference/linker.py:462-476
+  M4 remove_special_tokens_and_tags  inference/linker.py:478-492
+  M5 extract_entities (BIO->spans)   inference/linker.py:399-428
+  T2 remove_duplicates_ordered       inference/linker.py:450-459
+
+Known reference quirk, deliberately not reproduced: linker.py:474-475
+applies the trailing "O, I- -> O" repair with the stale loop index `i`
+(writing fixed_tags[i+1], i.e. the second-to-last slot, instead of the
+last). We implement the rule as documented in its docstring — the LAST tag
+is cleared — and note the divergence here for auditability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Default special tokens (transformer sentinels) for M4 — the reference
+# derives these from the tokenizer (tokenizer.all_special_ids).
+SPECIAL_TOKENS = {"[CLS]", "[SEP]", "[PAD]", "[MASK]", "[UNK]", "<s>", "</s>"}
+
+
+def fix_bio_tags(tags: list[str]) -> list[str]:
+    """M3: hand-crafted BIO repair rules (linker.py:462-476).
+
+    * B-x, O, I-y   -> the O becomes the following I tag
+    * O, I-x, O     -> the I becomes O
+    * trailing O, I -> the trailing I becomes O (intended rule; see module
+      docstring for the reference's off-by-one here)
+    """
+    fixed = list(tags)
+    for i in range(len(tags) - 2):
+        if tags[i].startswith("B-") and tags[i + 1] == "O" and tags[i + 2].startswith("I-"):
+            fixed[i + 1] = tags[i + 2]
+        if tags[i] == "O" and tags[i + 1].startswith("I-") and tags[i + 2] == "O":
+            fixed[i + 1] = "O"
+    # trailing rule evaluated on the REPAIRED sequence: a B,O,I tail was
+    # already healed by rule 1 and must not be re-cleared (the reference
+    # reads the raw tags here and, with its stale index, can undo rule 1 —
+    # we order the rules coherently instead)
+    if len(fixed) >= 2 and fixed[-2] == "O" and fixed[-1].startswith("I-"):
+        fixed[-1] = "O"
+    return fixed
+
+
+def remove_special_tokens_and_tags(
+    tokens: list[str], tags: list[str], special: set[str] = SPECIAL_TOKENS
+) -> tuple[list[str], list[str]]:
+    """M4: drop transformer sentinel tokens and their tags in lockstep
+    (linker.py:478-492, generalized from token ids to surface strings)."""
+    out_tok, out_tag = [], []
+    for tok, tag in zip(tokens, tags):
+        if tok not in special:
+            out_tok.append(tok)
+            out_tag.append(tag)
+    return out_tok, out_tag
+
+
+def extract_entities(tokens: list[str], tags: list[str]) -> list[dict]:
+    """M5: BIO tag sequence -> entity spans (linker.py:399-428).
+
+    Contract quirks preserved: consecutive tags of the SAME type merge into
+    one entity even when the second is a fresh B- (the reference's
+    acknowledged TODO), and empty-token entities are filtered at the end.
+    """
+    result: list[dict] = []
+    current: dict | None = None
+    for token, tag in zip(tokens, tags):
+        tag_type, tag_label = tag.split("-", 1) if "-" in tag else ("O", tag)
+        if tag_type != "O":
+            if current and current["type"] == tag_label:
+                current["tokens"].append(token)
+            else:
+                if current:
+                    result.append(current)
+                current = {"type": tag_label, "tokens": [token]}
+        else:
+            if current:
+                result.append(current)
+                current = None
+    if current:
+        result.append(current)
+    return [e for e in result if len(e["tokens"]) != 0]
+
+
+def remove_duplicates_ordered(xs: list) -> list:
+    """T2: order-preserving dedupe (linker.py:450-459)."""
+    seen: set = set()
+    out = []
+    for x in xs:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+def rule_tagger(tokens: list[str], lexicon: dict[str, str]) -> list[str]:
+    """M1/M2 stand-in: dictionary BIO tagger.
+
+    `lexicon` maps token -> entity type. A token continues the previous
+    entity (I-) when the previous token carried the same type, else starts
+    one (B-). Deterministic, pure, and shaped exactly like the model path:
+    list[token] -> list[BIO tag].
+    """
+    tags = []
+    prev_type: str | None = None
+    for tok in tokens:
+        etype = lexicon.get(tok)
+        if etype is None:
+            tags.append("O")
+            prev_type = None
+        elif etype == prev_type:
+            tags.append(f"I-{etype}")
+        else:
+            tags.append(f"B-{etype}")
+            prev_type = etype
+    return tags
+
+
+def extract_pipeline(
+    tokens: list[str], lexicon: dict[str, str], special: set[str] = SPECIAL_TOKENS
+) -> list[dict]:
+    """Full M1->M3->M4->M5 chain on one token list."""
+    tags = rule_tagger(tokens, lexicon)
+    tags = fix_bio_tags(tags) if tags else tags
+    toks, tags = remove_special_tokens_and_tags(tokens, tags, special)
+    return extract_entities(toks, tags)
+
+
+ENTITY_ROWS_SCHEMA = (
+    "doc_id long, ent_idx int, ent_type string, ent_text string"
+)
+
+
+def extract_entities_df(
+    docs: DataFrame, lexicon: dict[str, str], text_col: str = "text"
+) -> DataFrame:
+    """mapInPandas extraction stage: (doc_id, text) -> one row per entity.
+
+    The Arrow batch boundary is the ONLY Python crossing; tokenization,
+    tagging, repair, and span assembly all happen inside it (the reference
+    runs this per-document in a driver loop, 2_1_entity_extraction_loop.py:153).
+    The lexicon is captured in the closure — at cluster scale it ships once
+    per executor via task serialization (it is dim-table sized).
+    """
+    import re
+
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ent_idx": [], "ent_type": [], "ent_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in token_re.split((text or "").lower()) if t]
+                for i, ent in enumerate(extract_pipeline(toks, lexicon)):
+                    out["doc_id"].append(doc_id)
+                    out["ent_idx"].append(i)
+                    out["ent_type"].append(ent["type"])
+                    out["ent_text"].append(" ".join(ent["tokens"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "ent_idx": pd.Series(out["ent_idx"], dtype="int32"),
+                    "ent_type": pd.Series(out["ent_type"], dtype="object"),
+                    "ent_text": pd.Series(out["ent_text"], dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(run, schema=ENTITY_ROWS_SCHEMA)

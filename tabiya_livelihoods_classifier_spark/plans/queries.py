@@ -1779,6 +1779,61 @@ WHERE round(CAST(list_sum(list_transform(range(1, 65),
 """
 
 
+# --------------------------------------------------------------------------
+# Q35  entity extraction (M1-M5 chain): dictionary BIO tagger -> tag repair
+#      -> BIO->span assembly, all inside one Arrow mapInPandas stage; the
+#      oracle reproduces the span semantics as gaps-and-islands SQL
+# --------------------------------------------------------------------------
+
+_EXTRACT_LEXICON = {
+    "join": "Operator", "scan": "Operator", "sort": "Operator",
+    "merge": "Operator", "filter": "Operator", "agg": "Operator",
+    "hash": "Structure", "vector": "Structure", "stream": "Structure",
+    "window": "Structure", "batch": "Structure", "column": "Structure",
+    "row": "Structure", "table": "Structure",
+}
+
+
+def q35_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.extraction import (
+        extract_entities_df,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_entities_df(docs, _EXTRACT_LEXICON)
+
+
+_LEX_VALUES = ", ".join(
+    f"('{w}', '{t}')" for w, t in _EXTRACT_LEXICON.items()
+)
+
+Q35_SQL = f"""
+WITH lex(token, ent_type) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos
+  FROM (SELECT doc_id, {_TOK_LIST_SQL} AS ts FROM documents) t),
+tagged AS (
+  SELECT doc_id, pos, toks.token, ent_type
+  FROM toks JOIN lex ON toks.token = lex.token),
+islands AS (
+  SELECT doc_id, pos, token, ent_type,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, ent_type
+                                  ORDER BY pos) AS grp
+  FROM tagged),
+ents AS (
+  SELECT doc_id, ent_type, MIN(pos) AS start_pos,
+         string_agg(token, ' ' ORDER BY pos) AS ent_text
+  FROM islands GROUP BY doc_id, ent_type, grp
+  -- adjacent same-type runs merge; a gap or a type switch splits
+  )
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+            AS INT) AS ent_idx,
+       ent_type, ent_text
+FROM ents
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1818,6 +1873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_multimodal_meta": q32_multimodal_meta,
     "q33_session_window": q33_session_window,
     "q34_embedding_neardup": q34_embedding_neardup,
+    "q35_entity_extraction": q35_entity_extraction,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1855,4 +1911,5 @@ ORACLE_SQL: dict[str, str] = {
     "q32_multimodal_meta": Q32_SQL,
     "q33_session_window": Q33_SQL,
     "q34_embedding_neardup": Q34_SQL,
+    "q35_entity_extraction": Q35_SQL,
 }
