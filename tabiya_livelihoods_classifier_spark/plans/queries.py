@@ -1834,6 +1834,91 @@ FROM ents
 """
 
 
+# --------------------------------------------------------------------------
+# Q36  tolerant JSON field extraction (P15/P16, §2.7 JSON family):
+#      from_json with schema + try-semantics over the events.props strings
+# --------------------------------------------------------------------------
+
+
+def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k int")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_path"),
+        (parsed["k"].isNotNull()).alias("parse_ok"),
+    )
+
+
+Q36_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+         AS parse_ok
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Q37  relation-type routing (J5): blank relation type fans the row into
+#      BOTH the essential and optional buckets (3_2a...py:539-547,576-595)
+# --------------------------------------------------------------------------
+
+
+def q37_relation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rel = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", F.lit("essential"))
+        .when(F.col("l_returnflag") == "A", F.lit("optional"))
+        .otherwise(F.lit(""))
+        .alias("rel_type"),
+    )
+    # blank -> both buckets, exactly the reference's fan-out
+    ess = rel.filter(F.col("rel_type").isin("essential", "")).select(
+        "l_orderkey", "l_partkey"
+    )
+    opt = rel.filter(F.col("rel_type").isin("optional", "")).select(
+        "l_orderkey", "l_partkey"
+    )
+    return (
+        ess.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("n_essential"))
+        .join(
+            opt.groupBy("l_orderkey").agg(
+                F.countDistinct("l_partkey").alias("n_optional")
+            ),
+            "l_orderkey",
+            "full_outer",
+        )
+        .select(
+            "l_orderkey",
+            F.coalesce("n_essential", F.lit(0)).alias("n_essential"),
+            F.coalesce("n_optional", F.lit(0)).alias("n_optional"),
+        )
+    )
+
+
+Q37_SQL = """
+WITH rel AS (
+  SELECT l_orderkey, l_partkey,
+         CASE l_returnflag WHEN 'R' THEN 'essential'
+              WHEN 'A' THEN 'optional' ELSE '' END AS rel_type
+  FROM lineitem),
+ess AS (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_essential
+        FROM rel WHERE rel_type IN ('essential', '') GROUP BY 1),
+opt AS (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_optional
+        FROM rel WHERE rel_type IN ('optional', '') GROUP BY 1)
+SELECT COALESCE(ess.l_orderkey, opt.l_orderkey) AS l_orderkey,
+       COALESCE(n_essential, 0) AS n_essential,
+       COALESCE(n_optional, 0) AS n_optional
+FROM ess FULL OUTER JOIN opt ON ess.l_orderkey = opt.l_orderkey
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1874,6 +1959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_session_window": q33_session_window,
     "q34_embedding_neardup": q34_embedding_neardup,
     "q35_entity_extraction": q35_entity_extraction,
+    "q36_json_extract": q36_json_extract,
+    "q37_relation_routing": q37_relation_routing,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1912,4 +1999,6 @@ ORACLE_SQL: dict[str, str] = {
     "q33_session_window": Q33_SQL,
     "q34_embedding_neardup": Q34_SQL,
     "q35_entity_extraction": Q35_SQL,
+    "q36_json_extract": Q36_SQL,
+    "q37_relation_routing": Q37_SQL,
 }
