@@ -64,3 +64,33 @@ def test_tight_cap_preserves_f1(spark, xs_corpus):
     }
     f1 = pairwise_f1(tight, labeled_pairs_from_gold(gold))
     assert f1.f1 >= 0.99, f1
+
+
+def test_purge_drops_only_oversized(spark):
+    from tabiya_livelihoods_classifier_spark.operators.blocking import (
+        purge_oversized,
+    )
+
+    rows = [("huge", f"r{i:04d}") for i in range(300)] + [
+        ("ok", "r0001"), ("ok", "r0002"), ("tiny", "r0009")
+    ]
+    membership = spark.createDataFrame(rows, "block_key string, rid string")
+    kept = purge_oversized(membership, purge_above=100)
+    got = {r.block_key for r in kept.collect()}
+    assert got == {"ok", "tiny"}
+    assert kept.count() == 3
+
+
+def test_candidate_pairs_min_common(spark):
+    # pair (a,b) shares 2 blocks, (a,c) shares 1 — meta-blocking keeps only
+    # the multiply-supported pair
+    rows = [("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"), ("k3", "a"),
+            ("k3", "c")]
+    membership = spark.createDataFrame(rows, "block_key string, rid string")
+    all_pairs = {(r.id_a, r.id_b) for r in candidate_pairs(membership).collect()}
+    assert all_pairs == {("a", "b"), ("a", "c")}
+    strict = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(membership, min_common=2).collect()
+    }
+    assert strict == {("a", "b")}
