@@ -196,9 +196,11 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         "oracle does not replicate salting; shrink fixture or raise cap"
     )
 
+    # duplicate-block collapse twin (candidate_pairs: blocks with identical
+    # member sets count once toward n_common)
+    distinct_blocks = {tuple(sorted(v)) for v in blocks.values()}
     pair_counts: dict[tuple[str, str], int] = defaultdict(int)
-    for members in blocks.values():
-        ms = sorted(members)
+    for ms in distinct_blocks:
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 pair_counts[(ms[i], ms[j])] += 1

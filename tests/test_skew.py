@@ -82,13 +82,14 @@ def test_purge_drops_only_oversized(spark):
 
 
 def test_candidate_pairs_min_common(spark):
-    # pair (a,b) shares 2 blocks, (a,c) shares 1 — meta-blocking keeps only
-    # the multiply-supported pair
-    rows = [("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"), ("k3", "a"),
-            ("k3", "c")]
+    # pair (a,b) is supported by 2 DISTINCT blocks ({a,b} and {a,b,d});
+    # (a,c) by 1. Blocks with identical member sets collapse to one:
+    # k1 and k1bis both = {a,b} and must count once.
+    rows = [("k1", "a"), ("k1", "b"), ("k1bis", "a"), ("k1bis", "b"),
+            ("k2", "a"), ("k2", "b"), ("k2", "d"), ("k3", "a"), ("k3", "c")]
     membership = spark.createDataFrame(rows, "block_key string, rid string")
     all_pairs = {(r.id_a, r.id_b) for r in candidate_pairs(membership).collect()}
-    assert all_pairs == {("a", "b"), ("a", "c")}
+    assert all_pairs == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "d")}
     strict = {
         (r.id_a, r.id_b)
         for r in candidate_pairs(membership, min_common=2).collect()
