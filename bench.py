@@ -89,6 +89,27 @@ def run_battery() -> int:
     return 0
 
 
+def _cpu_health_miters(procs: int = 8, secs: float = 2.0) -> float:
+    """Pure-CPU spin throughput (M iterations/s across `procs` workers) —
+    a machine-health gauge sampled before each benchmark leg so host-level
+    interference is visible in the recorded numbers."""
+    from multiprocessing import Pool
+
+    def_spin = _spin_worker
+    with Pool(procs) as p:
+        res = p.map(def_spin, [secs] * procs)
+    return round(sum(res) / 1e6 / secs, 1)
+
+
+def _spin_worker(secs: float) -> int:
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        for _ in range(10000):
+            n += 1
+    return n
+
+
 def run_er_once(master: str, turns_parquet: str) -> int:
     """One ER pipeline run; prints {"turns": n, "wall_s": w, "tps": t}."""
     from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
@@ -159,16 +180,27 @@ def run_scaling() -> int:
         if chunk.num_rows:
             pq.write_table(chunk, f"{turns_pq}/part-{i:05d}.parquet")
 
+    # The sandbox shares its host: external load episodically steals cores
+    # and inflates a leg 2-8x. Each leg therefore runs `repeats` times with
+    # a CPU-health probe before each attempt; the fastest attempt (least
+    # contaminated) is kept and every attempt + probe is reported.
+    repeats = int(os.environ.get("SPARK_GRAFT_ER_REPEATS", "2"))
     results = {}
+    attempts: dict[int, list] = {8: [], 32: []}
     for cores in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--er-run",
-             f"local[{cores}]", turns_pq],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+        for _ in range(repeats):
+            health = _cpu_health_miters()
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--er-run",
+                 f"local[{cores}]", turns_pq],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            r["cpu_health_miters"] = health
+            attempts[cores].append(r)
+            print(f"local[{cores}]: {r}", file=sys.stderr)
+        results[cores] = min(attempts[cores], key=lambda r: r["wall_s"])
 
     tps8, tps32 = results[8]["tps"], results[32]["tps"]
     eff = round((tps32 / tps8) / 4.0, 3)
@@ -184,23 +216,43 @@ def run_scaling() -> int:
         },
         "sf": scale,
     }
-    _write_bench_baseline(results, eff, scale)
+    _write_bench_baseline(results, eff, scale, attempts)
     print(json.dumps(summary))
     return 0
 
 
-def _write_bench_baseline(results: dict, eff: float, scale: str) -> None:
+def _write_bench_baseline(
+    results: dict, eff: float, scale: str, attempts: dict | None = None
+) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     n_turns = results[8]["turns"]
+    att_md = ""
+    if attempts:
+        rows = []
+        for cores in (8, 32):
+            for i, a in enumerate(attempts[cores]):
+                rows.append(
+                    f"| local[{cores}] | {i + 1} | {a['wall_s']} | {a['tps']:,}"
+                    f" | {a.get('cpu_health_miters', '—')} |"
+                )
+        att_md = (
+            "\n## All attempts (fastest kept per leg)\n\n"
+            "The sandbox shares a host; external interference episodically\n"
+            "inflates a leg several-fold. A pure-CPU spin probe (8 procs,\n"
+            "Miter/s) runs before each attempt as a machine-health gauge.\n\n"
+            "| leg | attempt | wall (s) | turns/sec | cpu probe (Miter/s) |\n"
+            "|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
+        )
     md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
 
 North-rule evidence (no real cluster in this sandbox): the SAME ER job —
-canonicalize -> conversation records -> MinHash+composite blocking ->
-fused pairwise scoring (Arrow UDF) -> checkpointed hash-min connected
-components — over the SAME parquet input ({n_turns:,} turns, synthetic
-'{scale}' transcript corpus, 32 input files), run in fresh subprocesses at
-two parallelism levels standing in for N and 4N executors.
+canonicalize -> conversation records -> MinHash blocking (purge + dedupe +
+salting) -> cheap-first pairwise scoring (JVM Jaccard gate, Arrow
+Jaro-Winkler, quantized cosine) -> contraction connected components — over
+the SAME parquet input ({n_turns:,} turns, synthetic '{scale}' transcript
+corpus, 32 input files), run in fresh subprocesses at two parallelism
+levels standing in for N and 4N executors.
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|
@@ -211,9 +263,10 @@ two parallelism levels standing in for N and 4N executors.
 
 Clusters produced (identical at both levels): {results[8]['clusters']}
 vs {results[32]['clusters']}.
-
+{att_md}
 Reproduce: `python bench.py --scaling` (env `SPARK_GRAFT_ER_SCALE`
-selects the corpus scale; default `bench4` = 200k conversations).
+selects the corpus scale, default `bench4` = 200k conversations;
+`SPARK_GRAFT_ER_REPEATS` = attempts per leg, default 2).
 """
     (bench_dir / "BASELINE.md").write_text(md)
 
