@@ -75,3 +75,40 @@ def test_config_change_invalidates_downstream(spark, xs_corpus, tmp_path):
         ("canon", "records", "membership", "pairs", "scored", "edges",
          "clusters")
     )
+
+
+def test_submit_entrypoint(spark, tmp_path, xs_corpus):
+    """plans/submit.py end-to-end: write input, run main(), resume is a
+    no-op second time (stages_computed empty)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from tabiya_livelihoods_classifier_spark.data.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+    from tabiya_livelihoods_classifier_spark.plans import submit
+
+    turns_pd, _ = xs_corpus
+    src = str(tmp_path / "turns")
+    spark.createDataFrame(turns_pd, schema=TRANSCRIPT_SCHEMA).write.parquet(src)
+    args = [
+        "--input", src,
+        "--output", str(tmp_path / "out"),
+        "--store", str(tmp_path / "stages"),
+        "--input-id", "t1",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert submit.main(args) == 0
+    r1 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r1["clusters_rows"] == 60
+    assert "clusters" in r1["stages_computed"]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert submit.main(args) == 0
+    r2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r2["clusters_rows"] == 60
+    assert r2["stages_computed"] == []  # full resume, nothing recomputed
