@@ -37,26 +37,35 @@ def score_pairs(
     `features` must have columns: rid, name_key (short canonical string),
     tokens (array<string>), embedding (array<double>).
     """
+    # Phase 1 — NARROW: attach only the token arrays and apply the JVM-side
+    # Jaccard gate. The candidate set is ~3x the surviving set, and dragging
+    # 64-dim embeddings through the join for pairs that die at the gate is
+    # the single biggest shuffle in the pipeline. Embeddings + name keys
+    # join in phase 2 for survivors only.
+    ta = features.select(F.col("rid").alias("id_a"), F.col("tokens").alias("tokens_a"))
+    tb = features.select(F.col("rid").alias("id_b"), F.col("tokens").alias("tokens_b"))
+    gated = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("sim_jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        .filter(F.col("sim_jaccard") >= cfg.min_jaccard)
+        .select("id_a", "id_b", "sim_jaccard")
+    )
+    # Phase 2 — WIDE, survivors only: Jaro-Winkler (one Arrow batch pass)
+    # and quantorder-stable cosine.
     fa = features.select(
         F.col("rid").alias("id_a"),
         F.col("name_key").alias("name_a"),
-        F.col("tokens").alias("tokens_a"),
         F.col("embedding").alias("emb_a"),
     )
     fb = features.select(
         F.col("rid").alias("id_b"),
         F.col("name_key").alias("name_b"),
-        F.col("tokens").alias("tokens_b"),
         F.col("embedding").alias("emb_b"),
     )
     scored = (
-        pairs.join(fa, "id_a")
+        gated.join(fa, "id_a")
         .join(fb, "id_b")
-        .withColumn("sim_jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
-        # cheap-first cascade: token-set Jaccard is a pure JVM expression;
-        # pairs below cfg.min_jaccard (band-key chance collisions) never pay
-        # the Python-side Jaro-Winkler UDF or the cosine aggregate.
-        .filter(F.col("sim_jaccard") >= cfg.min_jaccard)
         .withColumn("sim_jw", jaro_winkler_udf(F.col("name_a"), F.col("name_b")))
         .withColumn("sim_cosine", cosine_expr(F.col("emb_a"), F.col("emb_b")))
     )
