@@ -133,6 +133,7 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
     turns = spark.read.parquet(turns_parquet)
     n_turns = turns.count()  # warms input outside the timed window
+    n_convs = turns.select("conv_id").distinct().count()
 
     t0 = time.perf_counter()
     stages = er_pipeline(spark, turns)
@@ -140,7 +141,8 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     n_rows = cl.count()
     n_clusters = cl.select("component").distinct().count()
     wall = time.perf_counter() - t0
-    assert n_rows == n_turns or n_rows > 0
+    # real invariant: exactly one cluster row per conversation record
+    assert n_rows == n_convs, f"cluster rows {n_rows} != conversations {n_convs}"
     print(
         json.dumps(
             {

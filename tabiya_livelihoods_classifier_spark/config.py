@@ -42,12 +42,15 @@ MAX_BLOCK_SIZE = 2000
 PURGE_BLOCK_SIZE = 500
 
 # Cheap-first scoring cascade: pairs whose token-set Jaccard (pure JVM
-# expression) is below this never reach the Python-side Jaro-Winkler UDF.
-# Measured on the bench corpus: sibling-entity candidates top out at 0.40
-# (2 shared of 5 union tokens), same-entity pairs bottom out at ~0.67 (one
-# signature token lost to turn noise) — 0.45 drops ~80% of candidates
-# before the Python-side pass with zero effect on edges.
-MIN_JACCARD_PREFILTER = 0.45
+# expression) is below the derived gate never reach the Python-side
+# Jaro-Winkler UDF. The gate is NOT a free parameter: it is derived in
+# ERConfig.__post_init__ as (match_threshold - w_jw - w_cosine) / w_jaccard
+# — the largest value that is provably lossless (a pair below it cannot
+# reach match_threshold even with perfect JW and cosine), for ANY
+# weight/threshold combination. Defaults give 0.40. Measured on the bench
+# corpus: sibling-entity candidates top out at 0.40 (2 shared of 5 union
+# tokens), same-entity pairs bottom out at ~0.67 — the gate still drops
+# ~80% of candidates before the Python-side pass.
 
 # Pairwise-match decision threshold used by the clustering stage
 # (analog of the reference's Skill gate evaluator.py:190). Calibrated on
@@ -76,7 +79,9 @@ class ERConfig:
     max_block_size: int = MAX_BLOCK_SIZE
     purge_block_size: int = PURGE_BLOCK_SIZE
     min_common_blocks: int = 1
-    min_jaccard: float = MIN_JACCARD_PREFILTER
+    # None -> derived lossless gate (see MIN_JACCARD note above); a float
+    # overrides it explicitly (caller takes recall responsibility).
+    min_jaccard: float | None = None
     match_threshold: float = MATCH_THRESHOLD
     embed_dim: int = EMBED_DIM
     top_k: int = DEFAULT_TOP_K
@@ -87,3 +92,12 @@ class ERConfig:
     w_jaccard: float = 0.5
     w_jw: float = 0.15
     w_cosine: float = 0.35
+
+    def __post_init__(self) -> None:
+        if self.min_jaccard is None:
+            # lossless cascade gate: below this Jaccard, even perfect JW and
+            # cosine (=1.0) cannot lift the fused score to match_threshold.
+            gate = (self.match_threshold - self.w_jw - self.w_cosine) / max(
+                self.w_jaccard, 1e-12
+            )
+            object.__setattr__(self, "min_jaccard", max(0.0, gate))

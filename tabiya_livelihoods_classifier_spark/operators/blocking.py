@@ -99,9 +99,14 @@ def purge_oversized(
     pair must be preserved within a bounded block.
     """
     sizes = membership.groupBy("block_key").agg(F.count("*").alias("n"))
-    keep = sizes.filter(F.col("n") <= purge_above).select("block_key")
-    # sizes table is tiny (one row per block); broadcast semi-join
-    return membership.join(F.broadcast(keep), "block_key", "left_semi")
+    # Anti-join against the PURGED keys, not semi-join against the kept
+    # ones: kept blocks are O(all distinct blocks) ~ records x bands (the
+    # big side), while purged keys number at most |membership|/purge_above
+    # — a few percent of the record count. No broadcast hint: AQE
+    # broadcasts when the purged set is actually small and falls back to a
+    # shuffle join when it is not, so no fixed-size driver/executor bomb.
+    purged = sizes.filter(F.col("n") > purge_above).select("block_key")
+    return membership.join(purged, "block_key", "left_anti")
 
 
 def cap_block_size(

@@ -34,10 +34,32 @@ from pyspark.sql import functions as F
 
 # The post-contraction representative graph holds only inter-cluster bridge
 # edges; below this size a driver union-find beats per-iteration job
-# latency. 5M edges of two short strings is ~200 MB on the driver — well
-# inside the configured driver memory, and far above anything a real ER
-# corpus produces after contraction.
-DRIVER_STITCH_MAX_EDGES = 5_000_000
+# latency. The gate is BYTE-estimated, not a fixed row count: rows are
+# admitted only while estimated payload (sampled avg id width x rows) stays
+# under this budget, so wide ids shrink the row allowance automatically.
+DRIVER_STITCH_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _driver_stitch_row_budget(reduced: DataFrame, n_reduced: int) -> bool:
+    """True iff the reduced edge set fits the driver-stitch byte budget.
+
+    Estimates bytes as n_edges x (avg(len(src)+len(dst)) + fixed row
+    overhead) from a bounded sample — one tiny job, no full materialization.
+    """
+    if n_reduced == 0:
+        return True
+    sample = (
+        reduced.limit(10_000)
+        .select(
+            (F.length(F.col("src").cast("string"))
+             + F.length(F.col("dst").cast("string"))).alias("w")
+        )
+        .agg(F.avg("w").alias("avg_w"))
+        .collect()[0]
+    )
+    # ~100 bytes/row Python-object overhead for a collected Row of 2 strs
+    est_bytes = n_reduced * (float(sample["avg_w"] or 16.0) + 100.0)
+    return est_bytes <= DRIVER_STITCH_MAX_BYTES
 
 
 def _driver_union_find(edge_rows) -> list[tuple]:
@@ -121,7 +143,7 @@ def connected_components(
     # distributed hash-min loop remains the fallback for adversarial
     # graphs whose reduced form is still large (long chains).
     n_reduced = reduced.count()
-    if n_reduced <= DRIVER_STITCH_MAX_EDGES:
+    if _driver_stitch_row_budget(reduced, n_reduced):
         rep_rows = _driver_union_find(reduced.collect())
         if not rep_rows:
             return l1.select("rid", F.col("label").alias("component"))
@@ -139,6 +161,7 @@ def connected_components(
             .select("rid", F.col("rid").alias("component"))
             .localCheckpoint(eager=True)
         )
+        changed = 1
         for _ in range(max_iter):
             nbr_min = (
                 reduced.join(labels, reduced.dst == labels.rid)
@@ -154,6 +177,23 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
+            # pointer doubling: follow the label chain one extra hop
+            # (component <- component's component), so convergence is
+            # O(log diameter) instead of O(diameter) iterations.
+            hop = new_labels.select(
+                F.col("rid").alias("h_rid"), F.col("component").alias("h_comp")
+            )
+            new_labels = (
+                new_labels.join(
+                    hop, new_labels.component == hop.h_rid, "left"
+                ).select(
+                    "rid",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("h_comp"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
             new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
@@ -165,6 +205,15 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # with pointer doubling max_iter=50 covers diameter ~2^50;
+            # reaching this means the input is pathological — never return
+            # silently-wrong components.
+            raise RuntimeError(
+                f"connected_components: hash-min did not converge within "
+                f"{max_iter} iterations on the reduced graph "
+                f"({n_reduced} edges)"
+            )
         rep = labels.select(
             F.col("rid").alias("label"), F.col("component").alias("rep_component")
         )

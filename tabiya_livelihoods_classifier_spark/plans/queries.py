@@ -682,7 +682,8 @@ bits AS (
   FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS k) ks
   GROUP BY doc_id, k)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -1447,9 +1448,9 @@ WITH g AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events)
 SELECT user_id, event_id,
-       SUM(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM g
 """
 
