@@ -157,13 +157,89 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     return 0
 
 
-def run_scaling() -> int:
+def run_er_profile(master: str, turns_parquet: str) -> int:
+    """Per-stage wall-clock breakdown of the ER pipeline (profiling aid for
+    the scaling-efficiency work; each stage persisted + counted in order so
+    downstream stages reuse upstream results)."""
+    from tabiya_livelihoods_classifier_spark.operators.blocking import (
+        candidate_pairs,
+    )
+    from tabiya_livelihoods_classifier_spark.operators.clustering import (
+        connected_components,
+    )
+    from tabiya_livelihoods_classifier_spark.operators.scoring import (
+        match_edges,
+        score_pairs,
+    )
+    from tabiya_livelihoods_classifier_spark.plans import pipeline as P
+    from tabiya_livelihoods_classifier_spark.session import get_spark
+
+    cores = int(re.search(r"\[(\d+)\]", master).group(1))
+    spark = get_spark(
+        app_name=f"er-profile-{cores}",
+        master=master,
+        shuffle_partitions=2 * max(cores, 8),
+        extra_conf={
+            **BENCH_CONF,
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
+    turns = spark.read.parquet(turns_parquet)
+    n_turns = turns.count()
+
+    prof: dict[str, dict] = {}
+    t_all = time.perf_counter()
+
+    def mark(name: str, df, t0: float):
+        df = df.persist()
+        n = df.count()
+        prof[name] = {"rows": n, "wall_s": round(time.perf_counter() - t0, 3)}
+        print(f"  {name}: {prof[name]}", file=sys.stderr)
+        return df
+
+    from pyspark.sql import functions as F
+
+    t = time.perf_counter()
+    records = mark(
+        "records",
+        P.conversation_records(P.canonical_turns(turns), embed=False),
+        t,
+    )
+    t = time.perf_counter()
+    sig = mark("signatures", P.signature_records(records), t)
+    t = time.perf_counter()
+    membership = mark("membership", P.signature_block_membership(sig), t)
+    t = time.perf_counter()
+    pairs = mark("pairs", candidate_pairs(membership), t)
+    feats = sig.select(
+        F.col("sid").alias("rid"), "name_key", "tokens", "embedding"
+    )
+    t = time.perf_counter()
+    edges = mark("edges", match_edges(score_pairs(pairs, feats)), t)
+    t = time.perf_counter()
+    clusters = connected_components(
+        edges, nodes=sig.select(F.col("sid").alias("rid"))
+    )
+    n_cl = clusters.select("component").distinct().count()
+    prof["clusters"] = {
+        "rows": n_cl,
+        "wall_s": round(time.perf_counter() - t, 3),
+    }
+    print(f"  clusters: {prof['clusters']}", file=sys.stderr)
+    wall = round(time.perf_counter() - t_all, 3)
+    print(json.dumps({"master": master, "turns": n_turns, "wall_s": wall,
+                      "tps": round(n_turns / wall, 1), "stages": prof}))
+    return 0
+
+
+def materialize_corpus(scale: str, out_dir: str | None = None) -> str:
+    """Generate the synthetic transcript corpus to a 32-file parquet dir."""
     from tabiya_livelihoods_classifier_spark.data.transcripts import (
         generate_transcripts,
     )
 
-    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench4")
-    tmp = tempfile.mkdtemp(prefix="er-scaling-")
+    tmp = out_dir or tempfile.mkdtemp(prefix="er-scaling-")
     turns_pq = str(Path(tmp) / "turns.parquet")
     turns, _gold = generate_transcripts(scale)
     # Spark cannot read TIMESTAMP(NANOS) parquet — write microsecond ts
@@ -181,6 +257,12 @@ def run_scaling() -> int:
         chunk = table.slice(i * step, step)
         if chunk.num_rows:
             pq.write_table(chunk, f"{turns_pq}/part-{i:05d}.parquet")
+    return turns_pq
+
+
+def run_scaling() -> int:
+    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench4")
+    turns_pq = materialize_corpus(scale)
 
     # The sandbox shares its host: external load episodically steals cores
     # and inflates a leg 2-8x. Each leg therefore runs `repeats` times with
@@ -192,8 +274,15 @@ def run_scaling() -> int:
     for cores in (8, 32):
         for _ in range(repeats):
             health = _cpu_health_miters()
+            # Pin each leg to exactly `cores` physical CPUs: an unpinned
+            # local[8] JVM still spreads GC, shuffle-IO, codegen and Python
+            # workers over all 32 host cores, making the N leg faster than a
+            # real 8-core executor and deflating measured N->4N efficiency.
+            # taskset makes the leg a faithful N-core machine (Java 17 and
+            # CPython both size their pools from sched_getaffinity).
             proc = subprocess.run(
-                [sys.executable, str(REPO / "bench.py"), "--er-run",
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, str(REPO / "bench.py"), "--er-run",
                  f"local[{cores}]", turns_pq],
                 capture_output=True, text=True, check=True,
             )
@@ -276,6 +365,11 @@ selects the corpus scale, default `bench4` = 200k conversations;
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--er-run":
         return run_er_once(sys.argv[2], sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == "--er-profile":
+        return run_er_profile(sys.argv[2], sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == "--er-gen":
+        print(materialize_corpus(sys.argv[2], sys.argv[3]))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         return run_scaling()
     return run_battery()

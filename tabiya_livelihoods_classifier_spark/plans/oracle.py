@@ -177,16 +177,34 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         toks = sorted(set(r["tokens_all"]) - common)
         r["tokens"] = toks
         r["name_key"] = " ".join(toks)
-        r["embedding"] = embed_text(r["name_key"], cfg.embed_dim)
+
+    # stage 2b: signature collapse twin (pipeline.signature_records) —
+    # records sharing a name_key collapse to one node; sid = min member rid;
+    # composite blocking keys are the union over member role_sigs
+    sig_members: dict[str, list[str]] = defaultdict(list)
+    for conv_id, r in recs.items():
+        sig_members[r["name_key"]].append(conv_id)
+    sigs: dict[str, dict] = {}
+    for name_key, members in sig_members.items():
+        sid = min(members)
+        r0 = recs[members[0]]
+        sigs[sid] = {
+            "name_key": name_key,
+            "tokens": r0["tokens"],
+            "role_sigs": sorted({recs[m]["role_sig"] for m in members}),
+            "members": sorted(members),
+            "embedding": embed_text(name_key, cfg.embed_dim),
+        }
 
     # stage 3: blocking (MinHash directly over signature tokens)
     blocks: dict[str, list[str]] = defaultdict(list)
-    for conv_id, r in recs.items():
-        keys = _minhash_band_keys(r["tokens"], cfg.num_hashes, cfg.band_rows)
-        lead = r["tokens"][0] if r["tokens"] else "_"
-        keys.append("#".join(["ck", r["role_sig"], lead]))
+    for sid, s in sigs.items():
+        keys = _minhash_band_keys(s["tokens"], cfg.num_hashes, cfg.band_rows)
+        lead = s["tokens"][0] if s["tokens"] else "_"
+        for rs in s["role_sigs"]:
+            keys.append("#".join(["ck", rs, lead]))
         for k in keys:
-            blocks[k].append(conv_id)
+            blocks[k].append(sid)
     # block purging (operators/blocking.purge_oversized twin)
     blocks = {
         k: v for k, v in blocks.items() if len(v) <= cfg.purge_block_size
@@ -209,11 +227,11 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         p for p, c in pair_counts.items() if c >= cfg.min_common_blocks
     }
 
-    # stage 4: scoring
+    # stage 4: scoring (signature level)
     scored = []
     edges = []
     for a, b in sorted(pairs):
-        ra, rb = recs[a], recs[b]
+        ra, rb = sigs[a], sigs[b]
         sa, sb = set(ra["tokens"]), set(rb["tokens"])
         union = sa | sb
         jac = (len(sa & sb) / len(union)) if union else 0.0
@@ -226,27 +244,28 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
         if score >= cfg.match_threshold:
             edges.append((a, b))
 
-    # stage 5: clustering
+    # stage 5: clustering over signatures, composed back to records
     uf = UnionFind()
-    for conv_id in recs:
-        uf.find(conv_id)
+    for sid in sigs:
+        uf.find(sid)
     for a, b in edges:
         uf.union(a, b)
-    roots: dict[str, str] = {}
-    for conv_id in recs:
-        root = uf.find(conv_id)
-        roots.setdefault(root, conv_id if conv_id < root else root)
-    # min id per component
+    # min sid per component == min conv_id (each sid is its group's min rid)
     comp_min: dict[str, str] = {}
-    for conv_id in recs:
-        root = uf.find(conv_id)
+    for sid in sigs:
+        root = uf.find(sid)
         cur = comp_min.get(root)
-        if cur is None or conv_id < cur:
-            comp_min[root] = conv_id
-    clusters = {conv_id: comp_min[uf.find(conv_id)] for conv_id in recs}
+        if cur is None or sid < cur:
+            comp_min[root] = sid
+    clusters = {
+        conv_id: comp_min[uf.find(sid)]
+        for sid, s in sigs.items()
+        for conv_id in s["members"]
+    }
 
     return {
         "records": recs,
+        "signatures": sigs,
         "pairs": pairs,
         "scored": scored,
         "edges": edges,

@@ -3,10 +3,18 @@
     turns (conv_id, turn_idx, role, text, tool, ts)
       -> [1] canonicalize        (per-turn text invariant; stable turn order)
       -> [2] conversation records (sorted-concat text, stop-filtered tokens,
-                                   name_key, hashing embedding)
+                                   name_key)
+      -> [2b] signature collapse  (exact dedup BEFORE fuzzy ER: records
+                                   sharing a name_key are provably same-
+                                   cluster, so fuzzy stages run per DISTINCT
+                                   signature — ~clique-size x smaller input)
       -> [3] blocking             (MinHash bands ∪ composite key; size cap)
       -> [4] pairwise scoring     (Jaccard ⊕ Jaro-Winkler ⊕ cosine; threshold)
-      -> [5] clustering           (checkpointed hash-min connected components)
+      -> [5] clustering           (contraction + hash-min CC on signatures,
+                                   composed back to records via name_key)
+      -> [6] taxonomy linking     (cluster reps -> per-type cosine top-k with
+                                   entity bounds; linker.py:268-330 analog)
+      -> [7] hierarchy rollup     (ancestor closure with exp(-λ·d) kernel)
 
 Scale notes (the plan you'd want at 100 TB):
   * Stage 2's only shuffle is the groupBy(conv_id); everything downstream
@@ -14,12 +22,22 @@ Scale notes (the plan you'd want at 100 TB):
     aggregate whose result is bounded (tokens with df>30% number at most
     ~3/0.3 per record on average), collected once and folded back in as an
     array literal — the classic "broadcast tiny aggregate" pattern.
-  * Stage 3 shuffles once on block_key; oversized blocks are salted
-    (operators/blocking.cap_block_size) so no partition exceeds
+  * Stage 2b is THE scale lever on duplicate-heavy corpora: ER cost is
+    quadratic in cluster size, so collapsing c exact copies shrinks pair
+    generation + scoring + CC input by ~c². Cluster-level output is exactly
+    preserved: same-signature records score 1.0 on all three sims (always
+    >= threshold), band keys depend only on tokens (identical), and the
+    composite keys of a signature are the UNION over member role_sigs, so a
+    pair of records is blocked iff its signature pair is blocked.
+  * Stage 3 shuffles once on block_key; oversized blocks are purged then
+    salted (operators/blocking) so no partition exceeds
     max_block_size choose 2 candidate pairs.
-  * Stage 4 is two equi-joins on record id (AQE picks broadcast vs
+  * Stage 4 is two equi-joins on signature id (AQE picks broadcast vs
     sort-merge by actual size) + one Arrow UDF pass.
   * Stage 5 shuffles per CC iteration, bounded by cluster diameter.
+  * Stages 6-7 join cluster representatives against the taxonomy — a
+    broadcast-sized dim table (ESCO is ~10^4 rows) — so linking is one
+    broadcast join + window top-k, no extra wide shuffle.
 """
 
 from __future__ import annotations
@@ -84,7 +102,9 @@ def canonical_turns(turns: DataFrame) -> DataFrame:
 MAJORITY_TURN_FRACTION = 0.5
 
 
-def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
+def conversation_records(
+    canon: DataFrame, cfg: ERConfig = ERConfig(), embed: bool = True
+) -> DataFrame:
     """Stage 2: one feature row per conversation.
 
     Signature tokens are selected by THREE frequency filters (all pure
@@ -190,15 +210,50 @@ def conversation_records(canon: DataFrame, cfg: ERConfig = ERConfig()) -> DataFr
         .drop("stop_arr")
         .withColumn("name_key", F.array_join(F.col("tokens"), " "))
     )
+    if not embed:
+        # the ER pipeline embeds per SIGNATURE (embedding is a pure function
+        # of name_key), so per-record embedding would be wasted Arrow work
+        return recs.select("rid", "record_text", "role_sig", "tokens", "name_key")
     recs = recs.withColumn("embedding", embed_udf(F.col("name_key")))
     return recs.select(
         "rid", "record_text", "role_sig", "tokens", "name_key", "embedding"
     )
 
 
+def signature_records(records: DataFrame) -> DataFrame:
+    """Stage 2b: collapse records to distinct signatures (exact dedup).
+
+    Records with identical name_key have identical tokens (name_key is the
+    sorted-distinct token join) and identical embeddings (a pure function of
+    name_key), so every pairwise sim between them is 1.0 and the fused score
+    is exactly 1.0 >= any sane threshold: they provably land in one cluster.
+    Fuzzy blocking/scoring/clustering therefore runs once per signature.
+
+    Output: sid (min member rid — deterministic representative), name_key,
+    tokens, role_sigs (sorted distinct member role_sigs — blocking emits one
+    composite key per element, preserving record-level blocking recall),
+    n_members, embedding.
+    """
+    sig = records.groupBy("name_key").agg(
+        F.min("rid").alias("sid"),
+        F.first("tokens").alias("tokens"),
+        F.array_sort(F.collect_set("role_sig")).alias("role_sigs"),
+        F.count("*").alias("n_members"),
+    )
+    return sig.select(
+        "sid",
+        "name_key",
+        "tokens",
+        "role_sigs",
+        "n_members",
+        embed_udf(F.col("name_key")).alias("embedding"),
+    )
+
+
 def block_membership(records: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
-    """Stage 3: LSH band keys (MinHash over signature tokens) ∪ composite
-    structural key; oversized blocks purged, residual hot keys salted."""
+    """Stage 3 (record-level API): LSH band keys (MinHash over signature
+    tokens) ∪ composite structural key; oversized blocks purged, residual
+    hot keys salted."""
     keys = F.concat(
         minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows),
         F.array(composite_key(F.col("role_sig"), F.col("tokens"))),
@@ -206,6 +261,24 @@ def block_membership(records: DataFrame, cfg: ERConfig = ERConfig()) -> DataFram
     membership = explode_blocks(records, "rid", keys)
     # purge first (collision blocks carry no signal), salt what remains —
     # with purge <= cap the salt pass is an inert guard for custom configs
+    membership = purge_oversized(membership, cfg.purge_block_size)
+    return cap_block_size(membership, cfg.max_block_size)
+
+
+def signature_block_membership(
+    sig: DataFrame, cfg: ERConfig = ERConfig()
+) -> DataFrame:
+    """Stage 3 over signatures: band keys from tokens (identical to the
+    record-level keys), plus ONE composite key per member role_sig — the
+    union over members — so any record pair that would have blocked on its
+    composite key still blocks at signature level."""
+    keys = F.concat(
+        minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows),
+        F.transform(
+            F.col("role_sigs"), lambda rs: composite_key(rs, F.col("tokens"))
+        ),
+    )
+    membership = explode_blocks(sig, "sid", keys)
     membership = purge_oversized(membership, cfg.purge_block_size)
     return cap_block_size(membership, cfg.max_block_size)
 
@@ -218,20 +291,43 @@ def er_pipeline(
     """Run stages 1-5; return every intermediate (for tests/lineage) + clusters.
 
     clusters: (rid, component) where component is the min conv_id of the
-    connected component — deterministic cluster representative.
+    connected component — deterministic cluster representative. (Each
+    signature's sid is its min member rid, so min-over-sids == min-over-rids
+    and the representative is identical with or without the collapse.)
+
+    membership/pairs/scored/edges are at SIGNATURE granularity (ids are
+    sids); clusters is back at record granularity.
     """
     canon = canonical_turns(turns)
-    records = conversation_records(canon, cfg)
-    # records are reused by blocking AND scoring: cache once
+    records = conversation_records(canon, cfg, embed=False)
+    # records feed the signature collapse AND the final rid->component map
     records = records.persist()
-    membership = block_membership(records, cfg)
+    sig = signature_records(records).persist()
+    membership = signature_block_membership(sig, cfg)
     pairs = candidate_pairs(membership, cfg.min_common_blocks)
-    scored = score_pairs(pairs, records, cfg)
+    feats = sig.select(
+        F.col("sid").alias("rid"), "name_key", "tokens", "embedding"
+    )
+    scored = score_pairs(pairs, feats, cfg)
     edges = match_edges(scored, cfg)
-    clusters = connected_components(edges, nodes=records.select("rid"))
+    sig_clusters = connected_components(
+        edges, nodes=sig.select(F.col("sid").alias("rid"))
+    )
+    clusters = (
+        records.select("rid", "name_key")
+        .join(sig.select("name_key", "sid"), "name_key")
+        .join(
+            sig_clusters.select(
+                F.col("rid").alias("sid"), "component"
+            ),
+            "sid",
+        )
+        .select("rid", "component")
+    )
     return {
         "canon": canon,
         "records": records,
+        "signatures": sig,
         "membership": membership,
         "pairs": pairs,
         "scored": scored,

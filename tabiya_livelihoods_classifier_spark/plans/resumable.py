@@ -25,10 +25,13 @@ from tabiya_livelihoods_classifier_spark.operators.scoring import (
     match_edges,
     score_pairs,
 )
+from pyspark.sql import functions as F
+
 from tabiya_livelihoods_classifier_spark.plans.pipeline import (
-    block_membership,
     canonical_turns,
     conversation_records,
+    signature_block_membership,
+    signature_records,
 )
 from tabiya_livelihoods_classifier_spark.storage import StageStore, params_hash
 
@@ -40,6 +43,7 @@ class StageFailure(RuntimeError):
 STAGES = (
     "canon",
     "records",
+    "signatures",
     "membership",
     "pairs",
     "scored",
@@ -82,14 +86,30 @@ def run_resumable(
         return df
 
     canon = stage("canon", lambda: canonical_turns(turns))
-    records = stage("records", lambda: conversation_records(canon, cfg))
-    membership = stage("membership", lambda: block_membership(records, cfg))
+    records = stage(
+        "records", lambda: conversation_records(canon, cfg, embed=False)
+    )
+    sig = stage("signatures", lambda: signature_records(records))
+    membership = stage(
+        "membership", lambda: signature_block_membership(sig, cfg)
+    )
     pairs = stage("pairs", lambda: candidate_pairs(membership, cfg.min_common_blocks))
-    scored = stage("scored", lambda: score_pairs(pairs, records, cfg))
+    feats = sig.select(
+        F.col("sid").alias("rid"), "name_key", "tokens", "embedding"
+    )
+    scored = stage("scored", lambda: score_pairs(pairs, feats, cfg))
     edges = stage("edges", lambda: match_edges(scored, cfg))
     stage(
         "clusters",
-        lambda: connected_components(edges, nodes=records.select("rid")),
+        lambda: records.select("rid", "name_key")
+        .join(sig.select("name_key", "sid"), "name_key")
+        .join(
+            connected_components(
+                edges, nodes=sig.select(F.col("sid").alias("rid"))
+            ).select(F.col("rid").alias("sid"), "component"),
+            "sid",
+        )
+        .select("rid", "component"),
     )
     done["_computed"] = computed  # type: ignore[assignment]
     return done

@@ -27,7 +27,7 @@ def test_kill_rerun_resumes_and_matches(spark, xs_corpus, tmp_path):
         run_resumable(
             spark, turns, store, cfg, input_id="xs", fail_after="pairs"
         )
-    for st in ("canon", "records", "membership", "pairs"):
+    for st in ("canon", "records", "signatures", "membership", "pairs"):
         assert (store.root / st / "MANIFEST.json").exists(), st
     for st in ("scored", "edges", "clusters"):
         assert not (store.root / st).exists(), st
@@ -44,8 +44,8 @@ def test_kill_rerun_resumes_and_matches(spark, xs_corpus, tmp_path):
     assert resumed == fresh
 
     # exactly-once lineage: per-partition rows sum to the manifest row count
-    for st in ("canon", "records", "membership", "pairs", "scored",
-               "edges", "clusters"):
+    for st in ("canon", "records", "signatures", "membership", "pairs",
+               "scored", "edges", "clusters"):
         mf = store.manifest(st)
         lin = store.lineage(st).collect()
         assert sum(r.rows for r in lin) == mf["rows"], st
@@ -55,8 +55,8 @@ def test_kill_rerun_resumes_and_matches(spark, xs_corpus, tmp_path):
     # metrics table has one row per stage
     stages = [m["stage"] for m in store.metrics()]
     assert sorted(stages) == sorted(
-        ["canon", "records", "membership", "pairs", "scored", "edges",
-         "clusters"]
+        ["canon", "records", "signatures", "membership", "pairs", "scored",
+         "edges", "clusters"]
     )
 
 
@@ -72,8 +72,8 @@ def test_config_change_invalidates_downstream(spark, xs_corpus, tmp_path):
         spark, turns, store, ERConfig(match_threshold=0.9), input_id="xs"
     )
     assert out["_computed"] == list(
-        ("canon", "records", "membership", "pairs", "scored", "edges",
-         "clusters")
+        ("canon", "records", "signatures", "membership", "pairs", "scored",
+         "edges", "clusters")
     )
 
 
