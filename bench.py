@@ -119,16 +119,12 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     spark = get_spark(
         app_name=f"er-bench-{cores}",
         master=master,
-        # 2x cores: halves stragglers on the skewed block/pair shuffles
-        # (measured: the scoring stage at local[32] runs 57s with 32
-        # partitions, 12s with 64). AQE partition coalescing is off for the
-        # same reason — it was merging the pair-aggregation shuffle below
-        # the core count.
+        # 2x cores halves stragglers on the record-aggregation shuffles; AQE
+        # coalescing stays ON — post-signature-collapse the fuzzy-stage
+        # shuffles are tiny (10^4-row tables) and per-task overhead at 64
+        # fixed partitions costs more than any straggler it prevents.
         shuffle_partitions=2 * max(cores, 8),
-        extra_conf={
-            **BENCH_CONF,
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        },
+        extra_conf=BENCH_CONF,
     )
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
     turns = spark.read.parquet(turns_parquet)
@@ -179,10 +175,7 @@ def run_er_profile(master: str, turns_parquet: str) -> int:
         app_name=f"er-profile-{cores}",
         master=master,
         shuffle_partitions=2 * max(cores, 8),
-        extra_conf={
-            **BENCH_CONF,
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        },
+        extra_conf=BENCH_CONF,
     )
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
     turns = spark.read.parquet(turns_parquet)
@@ -241,7 +234,8 @@ def materialize_corpus(scale: str, out_dir: str | None = None) -> str:
 
     tmp = out_dir or tempfile.mkdtemp(prefix="er-scaling-")
     turns_pq = str(Path(tmp) / "turns.parquet")
-    turns, _gold = generate_transcripts(scale)
+    turns, gold = generate_transcripts(scale)
+    gold.to_parquet(str(Path(tmp) / "gold.parquet"), index=False)
     # Spark cannot read TIMESTAMP(NANOS) parquet — write microsecond ts
     turns["ts"] = turns["ts"].astype("datetime64[us]")
     # 32 files so local[32] reads with full parallelism from the scan on
@@ -261,8 +255,13 @@ def materialize_corpus(scale: str, out_dir: str | None = None) -> str:
 
 
 def run_scaling() -> int:
-    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench4")
-    turns_pq = materialize_corpus(scale)
+    scale = os.environ.get("SPARK_GRAFT_ER_SCALE", "bench16")
+    # SPARK_GRAFT_ER_TURNS: reuse an already-materialized corpus parquet dir
+    # (bench.py --er-gen <scale> <dir>) instead of regenerating (~20 min of
+    # single-threaded pandas at bench16).
+    turns_pq = os.environ.get("SPARK_GRAFT_ER_TURNS") or materialize_corpus(
+        scale
+    )
 
     # The sandbox shares its host: external load episodically steals cores
     # and inflates a leg 2-8x. Each leg therefore runs `repeats` times with

@@ -75,12 +75,14 @@ SCALES = {
     # entities <= 144 + (1728 - 144): every bench entity keeps a unique ref
     # token, so gold clusters stay separable at scale
     "bench": Scale(convs=50_000, entities=1700),
-    # scaling-evidence corpus: 4x conversations, same entity count — per-
-    # entity cliques grow ~16x so stage compute dominates fixed orchestration
-    # overhead and parallel speedup is measurable (Amdahl: at 50k convs the
-    # whole job is ~100s of which most is per-stage scheduling/broadcast
-    # latency that 4x cores cannot shrink)
+    # scaling-evidence corpora: more conversations, same entity count. With
+    # the signature collapse the fuzzy stages are tiny, so the scaling
+    # regime is set by the LINEAR stages (scan/canonicalize/tokenize/record
+    # aggregation) — the corpus must be big enough that their parallel work
+    # dominates fixed orchestration overhead (Gustafson: grow the problem,
+    # not the percentages). bench16 (5.6M turns) is the evidence corpus.
     "bench4": Scale(convs=200_000, entities=1700),
+    "bench16": Scale(convs=800_000, entities=1700),
 }
 
 

@@ -147,7 +147,10 @@ ENTITY_ROWS_SCHEMA = (
 
 
 def extract_entities_df(
-    docs: DataFrame, lexicon: dict[str, str], text_col: str = "text"
+    docs: DataFrame,
+    lexicon: dict[str, str],
+    text_col: str = "text",
+    per_sentence: bool = False,
 ) -> DataFrame:
     """mapInPandas extraction stage: (doc_id, text) -> one row per entity.
 
@@ -156,8 +159,16 @@ def extract_entities_df(
     runs this per-document in a driver loop, 2_1_entity_extraction_loop.py:153).
     The lexicon is captured in the closure — at cluster scale it ships once
     per executor via task serialization (it is dim-table sized).
+
+    `per_sentence=True` segments each document first (P2,
+    functions.text.sentences — the linker.py:158 sent_tokenize analog) and
+    tags sentence by sentence, exactly how the reference bounds transformer
+    input: entities never span a sentence boundary; ent_idx keeps running
+    document order.
     """
     import re
+
+    from tabiya_livelihoods_classifier_spark.functions.text import sentences_py
 
     token_re = re.compile(r"[^a-z0-9]+")
 
@@ -165,8 +176,14 @@ def extract_entities_df(
         for pdf in batches:
             out = {"doc_id": [], "ent_idx": [], "ent_type": [], "ent_text": []}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = [t for t in token_re.split((text or "").lower()) if t]
-                for i, ent in enumerate(extract_pipeline(toks, lexicon)):
+                units = sentences_py(text) if per_sentence else [text]
+                ents = []
+                for unit in units:
+                    toks = [
+                        t for t in token_re.split((unit or "").lower()) if t
+                    ]
+                    ents.extend(extract_pipeline(toks, lexicon))
+                for i, ent in enumerate(ents):
                     out["doc_id"].append(doc_id)
                     out["ent_idx"].append(i)
                     out["ent_type"].append(ent["type"])

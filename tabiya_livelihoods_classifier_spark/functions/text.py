@@ -82,6 +82,39 @@ def tokens(col: Column | str, *, lowercase: bool = True) -> Column:
     return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def sentences(col: Column | str) -> Column:
+    """P2: deterministic sentence tokenizer -> array<string>.
+
+    Contract analog of the reference's ``sent_tokenize`` call
+    (inference/linker.py:158): the text is segmented at sentence-terminator
+    runs ('.', '!', '?'), each sentence keeps its terminator, surrounding
+    whitespace is trimmed, and empty segments are dropped. A regex extractor
+    (not nltk) so the SAME semantics run as one codegen expression in Spark
+    and as `regexp_extract_all` in the DuckDB oracle — terminator-less text
+    comes back as a single sentence, matching sent_tokenize.
+    """
+    c = canonicalize_text(col)
+    segs = F.regexp_extract_all(c, F.lit(SENTENCE_RE), 0)
+    # NOTE: must be a 1-arg lambda — F.trim itself has an optional second
+    # parameter, so transform() would bind it as (element, index) and the
+    # index would become the trim-character set (a silent no-op).
+    trimmed = F.transform(segs, lambda s: F.trim(s))
+    return F.filter(trimmed, lambda s: s != "")
+
+
+def sentences_py(text: str | None) -> list[str]:
+    """Single-process twin of `sentences` for the oracle/tests."""
+    import re as _re
+
+    t = _re.sub(r"[\n\r\t]", " ", text or "")
+    t = _re.sub(r" {2,}", " ", t).strip()
+    segs = _re.findall(SENTENCE_RE, t)
+    return [s.strip() for s in segs if s.strip()]
+
+
 def shingles(tok_col: Column, width: int) -> Column:
     """Word w-shingles as space-joined strings; whole-doc fallback if shorter.
 

@@ -109,6 +109,22 @@ def purge_oversized(
     return membership.join(purged, "block_key", "left_anti")
 
 
+def purge_oversized_by_mass(
+    membership: DataFrame,
+    purge_above: int,
+    mass_col: str = "mass",
+) -> DataFrame:
+    """Block purging by weighted member mass: like `purge_oversized`, but a
+    block's size is sum(mass) instead of its row count. Used by collapsed
+    (signature-level) blocking, where each row stands for `mass` records —
+    purge decisions then match record-level blocking exactly."""
+    sizes = membership.groupBy("block_key").agg(
+        F.sum(mass_col).alias("m")
+    )
+    purged = sizes.filter(F.col("m") > purge_above).select("block_key")
+    return membership.join(purged, "block_key", "left_anti")
+
+
 def cap_block_size(
     membership: DataFrame,
     max_block_size: int = MAX_BLOCK_SIZE,

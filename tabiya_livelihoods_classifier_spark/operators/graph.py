@@ -14,6 +14,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def weighted_ancestors(
+    edges: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """M9 graph-distance kernel support (matching_config.json:5-12):
+    (node, ancestor, dist) with dist = MINIMUM summed edge weight over
+    child->parent paths of at most `max_depth` edges.
+
+    `edges` columns: child, parent, weight. Depth is bounded (reference
+    distance_cutoff = 3), so this is `max_depth - 1` self-joins with no
+    iteration-to-fixpoint and no checkpointing — lineage stays shallow and
+    every join is a plain equi-join Catalyst can reorder. Kernel scoring
+    (exp(-lambda * d)) is left to the caller so the closure stays reusable.
+    """
+    base = edges.select(
+        F.col("child").alias("node"),
+        F.col("parent").alias("ancestor"),
+        F.col("weight").cast("double").alias("dist"),
+    )
+    paths = base
+    frontier = base
+    for _ in range(max_depth - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.ancestor") == F.col("e.child"))
+            .select(
+                F.col("f.node").alias("node"),
+                F.col("e.parent").alias("ancestor"),
+                (F.col("f.dist") + F.col("e.weight")).alias("dist"),
+            )
+        )
+        paths = paths.union(frontier)
+    return paths.groupBy("node", "ancestor").agg(F.min("dist").alias("dist"))
+
+
+def kernel_scores(
+    ancestors: DataFrame, lam: float = 0.7
+) -> DataFrame:
+    """exp(-lambda * dist) kernel over a weighted closure
+    (matching_config.json: kernel exp(-lambda*d), lambda=0.7)."""
+    return ancestors.withColumn("score", F.exp(-lam * F.col("dist")))
+
+
 def transitive_ancestors(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """(node, ancestor) for every ancestor reachable via child->parent edges.
 

@@ -188,26 +188,33 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
     for name_key, members in sig_members.items():
         sid = min(members)
         r0 = recs[members[0]]
+        rs_counts: dict[str, int] = defaultdict(int)
+        for m in members:
+            rs_counts[recs[m]["role_sig"]] += 1
         sigs[sid] = {
             "name_key": name_key,
             "tokens": r0["tokens"],
-            "role_sigs": sorted({recs[m]["role_sig"] for m in members}),
+            "role_sigs": dict(sorted(rs_counts.items())),
             "members": sorted(members),
             "embedding": embed_text(name_key, cfg.embed_dim),
         }
 
-    # stage 3: blocking (MinHash directly over signature tokens)
-    blocks: dict[str, list[str]] = defaultdict(list)
+    # stage 3: blocking (MinHash directly over signature tokens); each
+    # membership carries its RECORD mass (band keys: all members; composite
+    # keys: the members with that role_sig)
+    blocks: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for sid, s in sigs.items():
-        keys = _minhash_band_keys(s["tokens"], cfg.num_hashes, cfg.band_rows)
+        n_members = len(s["members"])
         lead = s["tokens"][0] if s["tokens"] else "_"
-        for rs in s["role_sigs"]:
-            keys.append("#".join(["ck", rs, lead]))
-        for k in keys:
-            blocks[k].append(sid)
-    # block purging (operators/blocking.purge_oversized twin)
+        for k in _minhash_band_keys(s["tokens"], cfg.num_hashes, cfg.band_rows):
+            blocks[k].append((sid, n_members))
+        for rs, rs_n in s["role_sigs"].items():
+            blocks["#".join(["ck", rs, lead])].append((sid, rs_n))
+    # block purging by record mass (purge_oversized_by_mass twin)
     blocks = {
-        k: v for k, v in blocks.items() if len(v) <= cfg.purge_block_size
+        k: [sid for sid, _ in v]
+        for k, v in blocks.items()
+        if sum(m for _, m in v) <= cfg.purge_block_size
     }
     max_block = max((len(v) for v in blocks.values()), default=0)
     assert max_block <= cfg.max_block_size, (

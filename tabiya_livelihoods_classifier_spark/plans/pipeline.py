@@ -58,6 +58,7 @@ from tabiya_livelihoods_classifier_spark.operators.blocking import (
     explode_blocks,
     minhash_band_keys,
     purge_oversized,
+    purge_oversized_by_mass,
 )
 from tabiya_livelihoods_classifier_spark.operators.clustering import (
     connected_components,
@@ -230,15 +231,22 @@ def signature_records(records: DataFrame) -> DataFrame:
     Fuzzy blocking/scoring/clustering therefore runs once per signature.
 
     Output: sid (min member rid — deterministic representative), name_key,
-    tokens, role_sigs (sorted distinct member role_sigs — blocking emits one
-    composite key per element, preserving record-level blocking recall),
-    n_members, embedding.
+    tokens, role_sigs (sorted array of (role_sig, rs_n) structs — blocking
+    emits one composite key per distinct member role_sig, preserving
+    record-level blocking recall, and rs_n carries the member count so
+    block purging can weigh blocks by RECORD mass), n_members, embedding.
     """
-    sig = records.groupBy("name_key").agg(
-        F.min("rid").alias("sid"),
+    by_rs = records.groupBy("name_key", "role_sig").agg(
+        F.count("*").alias("rs_n"), F.min("rid").alias("rs_min_rid"),
         F.first("tokens").alias("tokens"),
-        F.array_sort(F.collect_set("role_sig")).alias("role_sigs"),
-        F.count("*").alias("n_members"),
+    )
+    sig = by_rs.groupBy("name_key").agg(
+        F.min("rs_min_rid").alias("sid"),
+        F.first("tokens").alias("tokens"),
+        F.array_sort(
+            F.collect_list(F.struct("role_sig", "rs_n"))
+        ).alias("role_sigs"),
+        F.sum("rs_n").alias("n_members"),
     )
     return sig.select(
         "sid",
@@ -271,16 +279,37 @@ def signature_block_membership(
     """Stage 3 over signatures: band keys from tokens (identical to the
     record-level keys), plus ONE composite key per member role_sig — the
     union over members — so any record pair that would have blocked on its
-    composite key still blocks at signature level."""
-    keys = F.concat(
-        minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows),
-        F.transform(
-            F.col("role_sigs"), lambda rs: composite_key(rs, F.col("tokens"))
-        ),
+    composite key still blocks at signature level.
+
+    Purging weighs each block by RECORD mass (sum of member counts), not by
+    signature count: a band block's record members are the disjoint union
+    of its signatures' member groups, so mass-purging makes the same
+    purge decisions as record-level blocking. This matters for quality, not
+    just parity — the over-collapsed "degenerate" signatures (records that
+    lost their discriminating tokens to noise) form high-mass collision
+    blocks, and purging them is what stops degenerate records from chain-
+    merging sibling entities (measured at bench16: count-purged clustering
+    collapsed 1700 entities into 761 clusters; mass-purged keeps them
+    separate)."""
+    bands = sig.select(
+        F.explode(
+            minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows)
+        ).alias("block_key"),
+        F.col("sid").alias("rid"),
+        F.col("n_members").alias("mass"),
     )
-    membership = explode_blocks(sig, "sid", keys)
-    membership = purge_oversized(membership, cfg.purge_block_size)
-    return cap_block_size(membership, cfg.max_block_size)
+    comps = sig.select(
+        F.explode(F.col("role_sigs")).alias("rs"), "sid", "tokens"
+    ).select(
+        composite_key(F.col("rs.role_sig"), F.col("tokens")).alias("block_key"),
+        F.col("sid").alias("rid"),
+        F.col("rs.rs_n").alias("mass"),
+    )
+    membership = bands.unionByName(comps)
+    membership = purge_oversized_by_mass(
+        membership, cfg.purge_block_size, "mass"
+    )
+    return cap_block_size(membership.select("block_key", "rid"), cfg.max_block_size)
 
 
 def er_pipeline(

@@ -904,6 +904,23 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.withColumn("nq", nq)
 
 
+def _idcg_table(spark: SparkSession, kmax: int) -> DataFrame:
+    """(r, idcg) for r in 1..kmax with idcg = sum_{i<=r} 1/log2(i+1).
+
+    Relational replacement for a hardcoded IDCG case table (evaluator.py
+    computes this inside sentence-transformers' IR evaluator): rank
+    discounts as exact DECIMAL(18,12) terms, cumulated with a window — the
+    same decimal discipline as the DCG sums, so both engines agree bitwise.
+    """
+    dec = "decimal(18,12)"
+    ranks = spark.range(1, kmax + 1).select(
+        F.col("id").cast("int").alias("r"),
+        (F.lit(1.0) / F.log2(F.col("id") + 1)).cast(dec).alias("disc"),
+    )
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return ranks.withColumn("idcg", F.sum("disc").over(w)).select("r", "idcg")
+
+
 def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir)
     a = vecs.filter(F.col("vec_id") % 10 == 0).select(
@@ -1011,22 +1028,16 @@ def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nrel, "query_id", "left")
         .na.fill({"n_rel": 0})
     )
-    ideal = F.when(F.col("n_rel") >= 5, F.lit(None)).otherwise(F.col("n_rel"))
-    # idcg for m ideal hits: sum_{i=1..min(m,5)} 1/log2(i+1), as exact decimal
-    idcg_terms = [float(1.0) for _ in range(1)]  # placeholder, built below
-    import math as _math
-
-    def _idcg(m: int) -> float:
-        return sum(1.0 / _math.log2(i + 1) for i in range(1, m + 1))
-
-    idcg_col = (
-        F.when(F.least(F.col("n_rel"), F.lit(5)) == 1, F.lit(round(_idcg(1), 12)))
-        .when(F.least(F.col("n_rel"), F.lit(5)) == 2, F.lit(round(_idcg(2), 12)))
-        .when(F.least(F.col("n_rel"), F.lit(5)) == 3, F.lit(round(_idcg(3), 12)))
-        .when(F.least(F.col("n_rel"), F.lit(5)) == 4, F.lit(round(_idcg(4), 12)))
-        .when(F.least(F.col("n_rel"), F.lit(5)) >= 5, F.lit(round(_idcg(5), 12)))
-        .otherwise(F.lit(None))
+    # idcg for m ideal hits = sum_{i=1..min(m,5)} 1/log2(i+1): computed
+    # RELATIONALLY from a rank-discount table with a cumulative window (no
+    # hardcoded case constants), joined on the capped relevant count.
+    idcg_tab = _idcg_table(spark, 5)
+    per_q = per_q.join(
+        F.broadcast(idcg_tab),
+        F.least(F.col("n_rel"), F.lit(5)) == idcg_tab.r,
+        "left",
     )
+    idcg_col = F.col("idcg").cast("double")
     per_q = per_q.select(
         "query_id",
         F.coalesce(F.col("acc1"), F.lit(0)).alias("acc1"),
@@ -1068,14 +1079,12 @@ def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IDCG_CASE = (
-    "CASE WHEN least(n_rel, 5) = 1 THEN 1.0 "
-    "WHEN least(n_rel, 5) = 2 THEN 1.630929753571 "
-    "WHEN least(n_rel, 5) = 3 THEN 2.130929753571 "
-    "WHEN least(n_rel, 5) = 4 THEN 2.561606244208 "
-    "WHEN least(n_rel, 5) >= 5 THEN 2.948459118879 "
-    "ELSE NULL END"
-)
+def _idcg_tab_sql(kmax: int) -> str:
+    """DuckDB twin of `_idcg_table` (same decimal discipline)."""
+    return f"""idcg_tab AS (
+  SELECT r, SUM(CAST(1.0 / log2(r + 1) AS DECIMAL(18,12))) OVER (
+           ORDER BY r ROWS UNBOUNDED PRECEDING) AS idcg
+  FROM (SELECT unnest(range(1, {kmax + 1})) AS r) ranks)"""
 
 Q21_SQL = f"""
 WITH {_KNN_CTE.strip()},
@@ -1107,15 +1116,16 @@ per_q AS (
                   ELSE CAST(0 AS DECIMAL(18,12)) END) AS ap_num
   FROM cum t LEFT JOIN nrel n ON t.query_id = n.query_id
   GROUP BY t.query_id, n.n_rel),
+{_idcg_tab_sql(5)},
 fin AS (
   SELECT query_id, acc1, hits, n_rel, rr,
-         COALESCE(CAST(CAST(dcg AS DOUBLE) / ({_IDCG_CASE})
+         COALESCE(CAST(CAST(dcg AS DOUBLE) / CAST(it.idcg AS DOUBLE)
                        AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ndcg,
          COALESCE(CAST(CAST(ap_num AS DOUBLE) / CAST(least(n_rel, 5) AS DOUBLE)
                        AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ap,
          COALESCE(CAST(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
                        AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS recall
-  FROM per_q)
+  FROM per_q LEFT JOIN idcg_tab it ON least(per_q.n_rel, 5) = it.r)
 SELECT COUNT(*) AS n_queries,
        round(CAST(SUM(acc1) AS DOUBLE) / COUNT(*), 6) AS accuracy_at_1,
        round(CAST(SUM(hits) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS precision_at_5,
@@ -1920,6 +1930,376 @@ FROM ess FULL OUTER JOIN opt ON ess.l_orderkey = opt.l_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q38  per-type taxonomy linking: entity-type routing + per-type cosine
+#      bounds + top-k (plans/linking.link_entities semantics — linker.py:
+#      268-330, evaluator.py:190 bounds — with the battery's quantized
+#      parity arithmetic; every 10th vector queries the rest as "taxonomy")
+# --------------------------------------------------------------------------
+
+
+def q38_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _quantized_vecs(spark, sf_dir)
+    etype = (
+        F.when(F.col("label") % 3 == 0, F.lit("Occupation"))
+        .when(F.col("label") % 3 == 1, F.lit("Skill"))
+        .otherwise(F.lit("Qualification"))
+    )
+    typed = vecs.withColumn("entity_type", etype)
+    a = typed.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("entity_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+        "entity_type",
+    )
+    b = typed.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("tax_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+        "entity_type",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    bound = (
+        F.when(F.col("entity_type") == "Occupation", F.lit(0.0))
+        .when(F.col("entity_type") == "Skill", F.lit(0.7))
+        .otherwise(F.lit(0.8))
+    )
+    # entity-type routing join = the reference's per-type vector stores;
+    # the taxonomy side is the broadcast dim side at real scale
+    w = Window.partitionBy("entity_id", "entity_type").orderBy(
+        F.col("sim").desc(), F.col("tax_id").asc()
+    )
+    return (
+        a.join(F.broadcast(b), "entity_type")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= bound)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select(
+            "entity_id",
+            "entity_type",
+            "tax_id",
+            F.round("sim", 6).alias("sim"),
+            "rnk",
+        )
+    )
+
+
+Q38_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
+norms AS (
+  SELECT vec_id, label, q,
+         list_sum(list_transform(q, x -> x * x)) AS nq,
+         CASE WHEN label % 3 = 0 THEN 'Occupation'
+              WHEN label % 3 = 1 THEN 'Skill'
+              ELSE 'Qualification' END AS entity_type
+  FROM vecs),
+scored AS (
+  SELECT a.vec_id AS entity_id, a.entity_type, b.vec_id AS tax_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                       i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS sim
+  FROM norms a JOIN norms b
+    ON a.entity_type = b.entity_type AND b.vec_id % 10 <> 0
+  WHERE a.vec_id % 10 = 0),
+gated AS (
+  SELECT * FROM scored
+  WHERE sim >= CASE entity_type WHEN 'Occupation' THEN 0.0
+               WHEN 'Skill' THEN 0.7 ELSE 0.8 END)
+SELECT entity_id, entity_type, tax_id, round(sim, 6) AS sim, rnk FROM (
+  SELECT entity_id, entity_type, tax_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY entity_id, entity_type
+                            ORDER BY sim DESC, tax_id ASC) AS rnk
+  FROM gated) t
+WHERE rnk <= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# Q39  graph-distance kernel (M9): weighted depth-<=3 ancestor closure with
+#      min summed edge weight and exp(-0.7*d) kernel scoring
+#      (operators/graph.weighted_ancestors; matching_config.json:5-12)
+# --------------------------------------------------------------------------
+
+
+def q39_graph_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.operators.graph import (
+        kernel_scores,
+        weighted_ancestors,
+    )
+
+    part = load(spark, sf_dir, "part")
+    # hierarchy edges (weight 1.0) within the part-id space + relation
+    # edges (weight 1.5) into a disjoint 200000+ space, itself carrying a
+    # second hierarchy level — mixed-weight multi-hop paths
+    hier = part.selectExpr(
+        "p_partkey as child", "p_partkey div 7 as parent",
+        "cast(1.0 as double) as weight",
+    ).filter("parent >= 1 and parent <> child")
+    rel = part.selectExpr(
+        "p_partkey as child", "200000 + p_partkey div 5 as parent",
+        "cast(1.5 as double) as weight",
+    )
+    rel2 = (
+        part.selectExpr("p_partkey div 5 as k")
+        .filter("k div 7 >= 1")
+        .distinct()
+        .selectExpr(
+            "200000 + k as child", "200000 + k div 7 as parent",
+            "cast(1.0 as double) as weight",
+        )
+    )
+    edges = hier.unionByName(rel).unionByName(rel2).dropDuplicates(
+        ["child", "parent"]
+    )
+    out = kernel_scores(weighted_ancestors(edges, max_depth=3))
+    return out.select(
+        "node", "ancestor", "dist", F.round("score", 6).alias("score")
+    )
+
+
+Q39_SQL = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS child, p_partkey // 7 AS parent, 1.0 AS w
+  FROM part WHERE p_partkey // 7 >= 1 AND p_partkey // 7 <> p_partkey
+  UNION
+  SELECT p_partkey, 200000 + p_partkey // 5, 1.5 FROM part
+  UNION
+  SELECT 200000 + k, 200000 + k // 7, 1.0
+  FROM (SELECT DISTINCT p_partkey // 5 AS k FROM part) t
+  WHERE k // 7 >= 1),
+walk(node, ancestor, dist, steps) AS (
+  SELECT child, parent, w, 1 FROM e
+  UNION
+  SELECT wk.node, e.parent, wk.dist + e.w, wk.steps + 1
+  FROM walk wk JOIN e ON wk.ancestor = e.child
+  WHERE wk.steps < 3)
+SELECT node, ancestor, MIN(dist) AS dist,
+       round(exp(-0.7 * MIN(dist)), 6) AS score
+FROM walk GROUP BY node, ancestor
+"""
+
+
+# --------------------------------------------------------------------------
+# Q40  sentence tokenization (P2: linker.py:158 sent_tokenize analog) —
+#      documents carry no punctuation, so sentence structure is derived
+#      deterministically first (articles become terminators), then split
+#      with functions.text.sentences and exploded with positions
+# --------------------------------------------------------------------------
+
+
+def q40_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.text import sentences
+
+    docs = load(spark, sf_dir, "documents")
+    sent_text = F.regexp_replace(F.col("text"), r" (the|a) ", ". ")
+    return docs.select(
+        "doc_id", F.posexplode(sentences(sent_text)).alias("sent_idx", "sentence")
+    ).select(
+        "doc_id", F.col("sent_idx").cast("int").alias("sent_idx"), "sentence"
+    )
+
+
+Q40_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(
+               trim(regexp_replace(regexp_replace(
+                 regexp_replace(COALESCE(text, ''), ' (the|a) ', '. ', 'g'),
+                 '[\n\r\t]', ' ', 'g'), ' {2,}', ' ', 'g')),
+               '[^.!?]+[.!?]*'),
+             x -> trim(x)),
+           x -> x <> '') AS ss
+  FROM documents)
+SELECT doc_id,
+       CAST(generate_subscripts(ss, 1) - 1 AS INT) AS sent_idx,
+       unnest(ss) AS sentence
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Q41  IR metrics at the reference's k grid {1,4,16,32}
+#      (inference/evaluator.py:34-38) — one kNN pass at k=32, fanned per k
+#      with a broadcast k table; IDCG relational (no hardcoded constants)
+# --------------------------------------------------------------------------
+
+IR_K_GRID = (1, 4, 16, 32)
+
+
+def q41_ir_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kmax = max(IR_K_GRID)
+    topk = _knn_topk(spark, sf_dir, kmax)
+    rel = topk.withColumn(
+        "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
+    )
+    vecs = _quantized_vecs(spark, sf_dir)
+    nrel = (
+        vecs.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(
+            vecs.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
+            F.col("cid") != F.col("query_id"),
+        )
+        .filter(F.col("ql") == F.col("cl"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    dec = "decimal(18,12)"
+    ks = spark.createDataFrame([(k,) for k in IR_K_GRID], "k int")
+    fan = rel.crossJoin(F.broadcast(ks)).filter(F.col("rnk") <= F.col("k"))
+    cum_w = (
+        Window.partitionBy("k", "query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fan = fan.withColumn("cum_rel", F.sum("rel").over(cum_w))
+    per_q = (
+        fan.groupBy("k", "query_id")
+        .agg(
+            F.max("rel").alias("acc"),
+            F.sum("rel").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    (F.lit(1.0) / F.log2(F.col("rnk") + 1)).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    (F.col("cum_rel").cast("double") / F.col("rnk")).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("ap_num"),
+        )
+        .join(nrel, "query_id", "left")
+        .na.fill({"n_rel": 0})
+    )
+    idcg_tab = _idcg_table(spark, kmax)
+    per_q = per_q.join(
+        F.broadcast(idcg_tab),
+        F.least(F.col("n_rel"), F.col("k")) == idcg_tab.r,
+        "left",
+    )
+    per_q = per_q.select(
+        "k",
+        "query_id",
+        "acc",
+        "hits",
+        "n_rel",
+        F.coalesce(
+            (F.lit(1.0) / F.col("first_rel")).cast(dec), F.lit(0).cast(dec)
+        ).alias("rr"),
+        F.coalesce(
+            (F.col("dcg").cast("double") / F.col("idcg").cast("double")).cast(dec),
+            F.lit(0).cast(dec),
+        ).alias("ndcg"),
+        F.coalesce(
+            (
+                F.col("ap_num").cast("double")
+                / F.least(F.col("n_rel"), F.col("k")).cast("double")
+            ).cast(dec),
+            F.lit(0).cast(dec),
+        ).alias("ap"),
+        F.coalesce(
+            (F.col("hits").cast("double") / F.col("n_rel").cast("double")).cast(
+                dec
+            ),
+            F.lit(0).cast(dec),
+        ).alias("recall"),
+    )
+    return (
+        per_q.groupBy("k")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.sum("acc").cast("double") / F.count("*"), 6).alias(
+                "accuracy"
+            ),
+            F.round(
+                F.sum("hits").cast("double")
+                / (F.first("k").cast("double") * F.count("*")),
+                6,
+            ).alias("precision"),
+            F.round(F.sum("recall").cast("double") / F.count("*"), 6).alias(
+                "recall"
+            ),
+            F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr"),
+            F.round(F.sum("ndcg").cast("double") / F.count("*"), 6).alias(
+                "ndcg"
+            ),
+            F.round(F.sum("ap").cast("double") / F.count("*"), 6).alias("map"),
+        )
+        .select(
+            "k", "n_queries", "accuracy", "precision", "recall", "mrr",
+            "ndcg", "map",
+        )
+    )
+
+
+Q41_SQL = f"""
+WITH {_KNN_CTE.strip()},
+ks AS (SELECT unnest([1, 4, 16, 32]) AS k),
+fan AS (
+  SELECT ks.k, query_id, candidate_id, rnk,
+         CASE WHEN query_label = candidate_label THEN 1 ELSE 0 END AS rel
+  FROM ranked CROSS JOIN ks WHERE rnk <= ks.k),
+nrel AS (
+  SELECT a.vec_id AS query_id, COUNT(*) AS n_rel
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id <> a.vec_id AND a.label = b.label
+  WHERE a.vec_id % 10 = 0
+  GROUP BY 1),
+cum AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY k, query_id ORDER BY rnk) AS cum_rel
+  FROM fan),
+per_q AS (
+  SELECT t.k, t.query_id,
+         MAX(rel) AS acc,
+         SUM(rel) AS hits,
+         COALESCE(n.n_rel, 0) AS n_rel,
+         COALESCE(CAST(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS rr,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(1.0 / log2(rnk + 1) AS DECIMAL(18,12))
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(CAST(cum_rel AS DOUBLE) / rnk AS DECIMAL(18,12))
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS ap_num
+  FROM cum t LEFT JOIN nrel n ON t.query_id = n.query_id
+  GROUP BY t.k, t.query_id, n.n_rel),
+{_idcg_tab_sql(32)},
+fin AS (
+  SELECT k, query_id, acc, hits, n_rel, rr,
+         COALESCE(CAST(CAST(dcg AS DOUBLE) / CAST(it.idcg AS DOUBLE)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ndcg,
+         COALESCE(CAST(CAST(ap_num AS DOUBLE) / CAST(least(n_rel, k) AS DOUBLE)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS ap,
+         COALESCE(CAST(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                       AS DECIMAL(18,12)), CAST(0 AS DECIMAL(18,12))) AS recall
+  FROM per_q LEFT JOIN idcg_tab it ON least(per_q.n_rel, per_q.k) = it.r)
+SELECT k, COUNT(*) AS n_queries,
+       round(CAST(SUM(acc) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+       round(CAST(SUM(hits) AS DOUBLE) / (CAST(k AS DOUBLE) * COUNT(*)), 6)
+         AS precision,
+       round(CAST(SUM(recall) AS DOUBLE) / COUNT(*), 6) AS recall,
+       round(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr,
+       round(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6) AS ndcg,
+       round(CAST(SUM(ap) AS DOUBLE) / COUNT(*), 6) AS map
+FROM fin GROUP BY k
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1962,6 +2342,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_entity_extraction": q35_entity_extraction,
     "q36_json_extract": q36_json_extract,
     "q37_relation_routing": q37_relation_routing,
+    "q38_entity_linking": q38_entity_linking,
+    "q39_graph_kernel": q39_graph_kernel,
+    "q40_sentence_split": q40_sentence_split,
+    "q41_ir_multi_k": q41_ir_multi_k,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2002,4 +2386,8 @@ ORACLE_SQL: dict[str, str] = {
     "q35_entity_extraction": Q35_SQL,
     "q36_json_extract": Q36_SQL,
     "q37_relation_routing": Q37_SQL,
+    "q38_entity_linking": Q38_SQL,
+    "q39_graph_kernel": Q39_SQL,
+    "q40_sentence_split": Q40_SQL,
+    "q41_ir_multi_k": Q41_SQL,
 }

@@ -91,3 +91,50 @@ def test_extract_entities_df(spark):
         (1, 0, "Occupation", "head chef"),
         (1, 1, "Skill", "plan menus"),
     ]
+
+
+def test_sentences_parity_and_contract(spark):
+    """P2 (linker.py:158 analog): Spark `sentences` == `sentences_py` on
+    probes; terminators kept, terminator-less text is one sentence."""
+    from pyspark.sql import functions as F
+
+    from tabiya_livelihoods_classifier_spark.functions.text import (
+        sentences,
+        sentences_py,
+    )
+
+    probes = [
+        "One. Two! Three?",
+        "no terminator at all",
+        "  spaced.   out!  ",
+        "dots... ellipsis! tail",
+        "",
+        None,
+        "line\nbreaks. and\ttabs!",
+    ]
+    df = spark.createDataFrame([(p,) for p in probes], "text string")
+    got = [r.ss for r in df.select(sentences(F.col("text")).alias("ss")).collect()]
+    want = [sentences_py(p) for p in probes]
+    assert got == want
+    assert want[0] == ["One.", "Two!", "Three?"]
+    assert want[1] == ["no terminator at all"]
+    assert want[3] == ["dots...", "ellipsis!", "tail"]
+
+
+def test_extract_per_sentence_bounds_spans(spark):
+    """per_sentence=True must not merge an entity across a sentence
+    boundary; whole-doc mode does (same type, adjacent tokens)."""
+    docs = spark.createDataFrame(
+        [(1, "head chef. chef cooks")], "doc_id long, text string"
+    )
+    lex = {"head": "Occupation", "chef": "Occupation"}
+    whole = [
+        (r.ent_idx, r.ent_text)
+        for r in extract_entities_df(docs, lex).collect()
+    ]
+    split = [
+        (r.ent_idx, r.ent_text)
+        for r in extract_entities_df(docs, lex, per_sentence=True).collect()
+    ]
+    assert whole == [(0, "head chef chef")]
+    assert split == [(0, "head chef"), (1, "chef")]

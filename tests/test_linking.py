@@ -1,0 +1,120 @@
+"""Stages 6-7: taxonomy linking (per-type top-k + bounds) and kernel rollup.
+
+Reference contracts: linker.py:268-330 top-k routing, evaluator.py:190
+entity bounds, matching_config.json kernel (weights 1.0/1.5, exp(-0.7*d),
+cutoff 3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tabiya_livelihoods_classifier_spark.config import ERConfig
+from tabiya_livelihoods_classifier_spark.data.taxonomy import taxonomy_spark
+from tabiya_livelihoods_classifier_spark.data.transcripts import (
+    TRANSCRIPT_SCHEMA,
+)
+from tabiya_livelihoods_classifier_spark.operators.graph import (
+    kernel_scores,
+    weighted_ancestors,
+)
+from tabiya_livelihoods_classifier_spark.plans.linking import er_enrich
+from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
+
+
+def test_weighted_ancestors_min_dist_and_cutoff(spark):
+    # a -1.0-> b -1.0-> c -1.0-> d -1.0-> e   (chain, depth 4)
+    # a -1.5-> c                              (shortcut relation edge)
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+         ("d", "e", 1.0), ("a", "c", 1.5)],
+        "child string, parent string, weight double",
+    )
+    got = {
+        (r.node, r.ancestor): r.dist
+        for r in weighted_ancestors(edges, max_depth=3).collect()
+    }
+    # min dist: a->c via two 1.0 hops (2.0) beats the 1.5+? no: direct 1.5
+    assert got[("a", "c")] == 1.5
+    assert got[("a", "d")] == 2.5  # a-c (1.5) + c-d (1.0), beats 3 hops 3.0
+    assert ("a", "e") in got  # depth 3 via shortcut: 1.5+1+1
+    assert got[("a", "e")] == 3.5
+    assert got[("b", "e")] == 3.0  # exactly 3 hops
+    # kernel values
+    ks = {
+        (r.node, r.ancestor): r.score
+        for r in kernel_scores(
+            weighted_ancestors(edges, max_depth=3)
+        ).collect()
+    }
+    assert ks[("a", "c")] == pytest.approx(math.exp(-0.7 * 1.5))
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, xs_corpus):
+    turns, _gold = xs_corpus
+    tdf = spark.createDataFrame(turns, schema=TRANSCRIPT_SCHEMA)
+    stages = er_pipeline(spark, tdf)
+    taxo = taxonomy_spark(spark, n_entities=12, seed=42)
+    return er_enrich(stages, taxo, per_type_k=4), stages
+
+
+def test_one_rep_per_component(enriched):
+    out, stages = enriched
+    n_components = (
+        stages["clusters"].select("component").distinct().count()
+    )
+    assert out["cluster_reps"].count() == n_components
+
+
+def test_entity_bounds_respected(enriched):
+    out, _ = enriched
+    cfg = ERConfig()
+    rows = out["links"].collect()
+    assert rows, "no links produced"
+    for r in rows:
+        assert r.sim >= cfg.entity_bounds[r.entity_type] - 1e-12, r
+
+
+def test_per_type_topk_and_rank_order(enriched):
+    out, _ = enriched
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out["links"].collect():
+        per[(r.entity_id, r.entity_type)].append((r.rnk, r.sim))
+    for key, rs in per.items():
+        rs.sort()
+        assert len(rs) <= 4, key
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True), key
+
+
+def test_occupation_links_hit_gold_entity(enriched, spark, xs_corpus):
+    """The top Occupation candidate of a cluster rep must be the taxonomy
+    occupation built from the SAME gold phrase (linker top-1 sanity)."""
+    out, stages = enriched
+    _, gold = xs_corpus
+    phrase_of = dict(zip(gold["conv_id"], gold["entity_phrase"]))
+    top_occ = {
+        r.entity_id: r.label
+        for r in out["links"]
+        .filter("entity_type = 'Occupation' and rnk = 1")
+        .collect()
+    }
+    hits = sum(
+        1 for eid, label in top_occ.items() if label == phrase_of.get(eid)
+    )
+    # cluster reps are noisy records; demand a strong majority exact top-1
+    assert hits >= 0.8 * len(top_occ), (hits, len(top_occ))
+
+
+def test_rollup_depth_and_kernel(enriched):
+    out, _ = enriched
+    rows = out["rollup"].collect()
+    assert rows, "no rollup rows"
+    for r in rows:
+        assert r.dist <= 1.5 * 3 + 1e-9
+        assert r.kernel == pytest.approx(math.exp(-0.7 * r.dist))
+        assert r.rollup_score <= r.kernel + 1e-12
