@@ -82,7 +82,18 @@ SCALES = {
     # dominates fixed orchestration overhead (Gustafson: grow the problem,
     # not the percentages). bench16 (5.6M turns) is the evidence corpus.
     "bench4": Scale(convs=200_000, entities=1700),
-    "bench16": Scale(convs=800_000, entities=1700),
+    # Scaling-evidence corpora run 8-12 turns per conversation (vs 4-10 on
+    # the gate corpora): with ~500-950 exact-duplicate records per entity,
+    # 4-turn conversations make the majority-vote signature lossy often
+    # enough (~0.5% of records drop a phrase word) that doubly-degraded
+    # record pairs percolate sibling entities into one giant component —
+    # a LABEL-NOISE artifact of the generator, not a pipeline property
+    # (scores of those pairs sit inside the same-entity score band, so no
+    # threshold separates them). 8+ turns of evidence per conversation
+    # keeps signature recovery reliable at any duplication factor, the way
+    # real agent transcripts carry the entity mention many times.
+    "bench16": Scale(convs=800_000, entities=1700, turns_lo=8, turns_hi=12),
+    "bench32": Scale(convs=1_600_000, entities=1700, turns_lo=8, turns_hi=12),
 }
 
 
@@ -164,6 +175,67 @@ def _noisify(text: str, rng: random.Random) -> str:
     return out
 
 
+def _emit_conv(rows, gold, ci, eid, phrases, sc, rng) -> None:
+    """One conversation's turns + gold row. rng draw ORDER is part of the
+    corpus definition — both generators route through here."""
+    conv_id = f"conv-{ci:06d}"
+    phrase = phrases[eid]
+    gold.append((conv_id, eid, phrase))
+    n_turns = rng.randrange(sc.turns_lo, sc.turns_hi + 1)
+    # templates CYCLE (random phase) instead of i.i.d. draws: with an
+    # i.i.d. draw ~9% of 4-turn conversations repeat one template in a
+    # majority of turns, pushing that template's words into the record
+    # signature and diluting it below the match prefilter (measured 16
+    # false-negative pairs on the xs corpus).
+    t_off = rng.randrange(len(_TEMPLATES))
+    for ti in range(n_turns):
+        role = ROLES[ti % len(ROLES)]
+        tool = rng.choice(TOOLS) if role == "tool" else ""
+        template = _TEMPLATES[(t_off + ti) % len(_TEMPLATES)]
+        # context tokens (city) vary PER TURN — like tool output or
+        # incidental context in real agent transcripts — so only the
+        # entity mention repeats across a conversation's turns. A fixed
+        # per-conversation city was tried and is an ER trap: ~10% of
+        # records then carry their city into the signature, and under
+        # TRANSITIVE clustering the rare same-city pair between sibling
+        # entities chain-merges clusters (measured: the 50k-conv bench
+        # corpus collapsed into one giant component).
+        city = rng.choice(_CITIES)
+        text = _noisify(template.format(p=phrase, c=city), rng)
+        ts = _BASE_TS + dt.timedelta(seconds=ci * 3600 + ti * 60)
+        rows.append((conv_id, ti, role, text, tool, ts))
+
+
+def generate_transcript_shard(
+    scale: str, shard: int, n_shards: int, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Shard `shard` of `n_shards` of a PARALLEL-generated corpus.
+
+    Deterministic function of (scale, shard, n_shards, seed): each shard
+    seeds its own rng with "{seed}:{shard}", and entity assignment is plain
+    round-robin ci % entities (no global shuffle), so shards are
+    independent. NOT row-identical to `generate_transcripts` at the same
+    scale — it is a sibling corpus with the same statistics, used for the
+    big scaling-evidence corpora whose single-threaded generation would
+    take an hour. Same schema, same gold contract.
+    """
+    sc = SCALES[scale]
+    phrases = entity_phrases(sc.entities, random.Random(seed))
+    lo = shard * sc.convs // n_shards
+    hi = (shard + 1) * sc.convs // n_shards
+    rng = random.Random(f"{seed}:{shard}")
+    rows: list = []
+    gold: list = []
+    for ci in range(lo, hi):
+        _emit_conv(rows, gold, ci, ci % sc.entities, phrases, sc, rng)
+    turns = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    turns["turn_idx"] = turns["turn_idx"].astype("int32")
+    gold_df = pd.DataFrame(gold, columns=["conv_id", "entity_id", "entity_phrase"])
+    return turns, gold_df
+
+
 def generate_transcripts(
     scale: str = "xs", seed: int = 42
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -185,33 +257,7 @@ def generate_transcripts(
     rows = []
     gold = []
     for ci in range(sc.convs):
-        conv_id = f"conv-{ci:06d}"
-        eid = assignment[ci]
-        phrase = phrases[eid]
-        gold.append((conv_id, eid, phrase))
-        n_turns = rng.randrange(sc.turns_lo, sc.turns_hi + 1)
-        # templates CYCLE (random phase) instead of i.i.d. draws: with an
-        # i.i.d. draw ~9% of 4-turn conversations repeat one template in a
-        # majority of turns, pushing that template's words into the record
-        # signature and diluting it below the match prefilter (measured 16
-        # false-negative pairs on the xs corpus).
-        t_off = rng.randrange(len(_TEMPLATES))
-        for ti in range(n_turns):
-            role = ROLES[ti % len(ROLES)]
-            tool = rng.choice(TOOLS) if role == "tool" else ""
-            template = _TEMPLATES[(t_off + ti) % len(_TEMPLATES)]
-            # context tokens (city) vary PER TURN — like tool output or
-            # incidental context in real agent transcripts — so only the
-            # entity mention repeats across a conversation's turns. A fixed
-            # per-conversation city was tried and is an ER trap: ~10% of
-            # records then carry their city into the signature, and under
-            # TRANSITIVE clustering the rare same-city pair between sibling
-            # entities chain-merges clusters (measured: the 50k-conv bench
-            # corpus collapsed into one giant component).
-            city = rng.choice(_CITIES)
-            text = _noisify(template.format(p=phrase, c=city), rng)
-            ts = _BASE_TS + dt.timedelta(seconds=ci * 3600 + ti * 60)
-            rows.append((conv_id, ti, role, text, tool, ts))
+        _emit_conv(rows, gold, ci, assignment[ci], phrases, sc, rng)
 
     turns = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]

@@ -39,27 +39,20 @@ from pyspark.sql import functions as F
 # under this budget, so wide ids shrink the row allowance automatically.
 DRIVER_STITCH_MAX_BYTES = 64 * 1024 * 1024
 
+# One probe collect bounds the driver-stitch decision: if the reduced graph
+# has at most this many edges, the probe ALREADY collected all of them (one
+# job total — no separate count + sample + collect); larger graphs fall
+# through to a byte-estimated gate.
+_PROBE_ROWS = 200_000
 
-def _driver_stitch_row_budget(reduced: DataFrame, n_reduced: int) -> bool:
-    """True iff the reduced edge set fits the driver-stitch byte budget.
 
-    Estimates bytes as n_edges x (avg(len(src)+len(dst)) + fixed row
-    overhead) from a bounded sample — one tiny job, no full materialization.
-    """
-    if n_reduced == 0:
-        return True
-    sample = (
-        reduced.limit(10_000)
-        .select(
-            (F.length(F.col("src").cast("string"))
-             + F.length(F.col("dst").cast("string"))).alias("w")
-        )
-        .agg(F.avg("w").alias("avg_w"))
-        .collect()[0]
-    )
-    # ~100 bytes/row Python-object overhead for a collected Row of 2 strs
-    est_bytes = n_reduced * (float(sample["avg_w"] or 16.0) + 100.0)
-    return est_bytes <= DRIVER_STITCH_MAX_BYTES
+def _bytes_per_row(rows) -> float:
+    """Estimated collected size of a (src, dst) Row: string payload +
+    ~100 B/row Python-object overhead."""
+    if not rows:
+        return 116.0
+    payload = sum(len(str(r["src"])) + len(str(r["dst"])) for r in rows)
+    return payload / len(rows) + 100.0
 
 
 def _driver_union_find(edge_rows) -> list[tuple]:
@@ -119,8 +112,9 @@ def connected_components(
     if nodes is not None:
         verts = verts.union(nodes.select("rid")).distinct()
 
-    # contraction: one pass over the full edge set
-    l1 = _min_neighbor_labels(sym, verts).localCheckpoint(eager=True)
+    # contraction: one pass over the full edge set (lazy checkpoint: the
+    # first consumer materializes it — no standalone barrier job)
+    l1 = _min_neighbor_labels(sym, verts).localCheckpoint(eager=False)
 
     # reduced graph between representatives (l1 is O(|V|): broadcastable at
     # this layer; genuinely huge vertex sets fall back to shuffle joins via
@@ -142,9 +136,26 @@ def connected_components(
     # — replacing ~2 jobs per hash-min iteration with ONE collect. The
     # distributed hash-min loop remains the fallback for adversarial
     # graphs whose reduced form is still large (long chains).
-    n_reduced = reduced.count()
-    if _driver_stitch_row_budget(reduced, n_reduced):
-        rep_rows = _driver_union_find(reduced.collect())
+    # Probe with ONE bounded collect: for the overwhelmingly common case
+    # (post-contraction graph = a few thousand bridge edges) this is the
+    # only job — the probe IS the edge set. Only a probe that comes back
+    # full pays a count for the byte-estimated gate.
+    probe = reduced.limit(_PROBE_ROWS + 1).collect()
+    if len(probe) <= _PROBE_ROWS and (
+        len(probe) * _bytes_per_row(probe[:1000]) <= DRIVER_STITCH_MAX_BYTES
+    ):
+        edge_rows = probe
+        n_reduced = len(probe)
+        use_driver = True
+    else:
+        n_reduced = reduced.count()
+        est = n_reduced * _bytes_per_row(probe[:1000])
+        use_driver = est <= DRIVER_STITCH_MAX_BYTES
+        edge_rows = None
+    if use_driver:
+        rep_rows = _driver_union_find(
+            edge_rows if edge_rows is not None else reduced.collect()
+        )
         if not rep_rows:
             return l1.select("rid", F.col("label").alias("component"))
         spark = edges.sparkSession

@@ -45,6 +45,52 @@ def pairwise_f1(
     return PairwiseF1(precision, recall, f1, tp, fp, fn)
 
 
+def labeled_pairs_sampled(
+    gold: pd.DataFrame,
+    seed: int = 42,
+    pos_per_entity: int = 500,
+    neg_per_conv: int = 1,
+) -> pd.DataFrame:
+    """Sampled labeled pairs for BIG corpora: `labeled_pairs_from_gold`
+    enumerates every within-entity pair (quadratic in entity size — 752M
+    pairs at bench32); this draws up to `pos_per_entity` random positive
+    pairs per entity plus the usual random negatives. Estimates the same
+    pairwise precision/recall to within sampling error."""
+    rng = random.Random(seed)
+    by_entity: dict[int, list[str]] = {}
+    phrase_of: dict[str, str] = {}
+    for row in gold.itertuples(index=False):
+        by_entity.setdefault(row.entity_id, []).append(row.conv_id)
+        phrase_of[row.conv_id] = row.entity_phrase
+    rows = []
+    for eid, convs in by_entity.items():
+        convs = sorted(convs)
+        n = len(convs)
+        total = n * (n - 1) // 2
+        if total <= pos_per_entity:
+            pairs = itertools.combinations(convs, 2)
+        else:
+            seen = set()
+            while len(seen) < pos_per_entity:
+                i, j = rng.randrange(n), rng.randrange(n)
+                if i != j:
+                    seen.add((min(i, j), max(i, j)))
+            pairs = ((convs[i], convs[j]) for i, j in seen)
+        for a, b in pairs:
+            rows.append((a, b, f"blk-{eid}", True))
+    all_convs = sorted(phrase_of)
+    for conv in all_convs:
+        for _ in range(neg_per_conv):
+            other = all_convs[rng.randrange(len(all_convs))]
+            if other == conv or phrase_of[other] == phrase_of[conv]:
+                continue
+            a, b = (conv, other) if conv < other else (other, conv)
+            rows.append((a, b, "blk-neg", False))
+    return pd.DataFrame(
+        rows, columns=["conv_id_a", "conv_id_b", "block_key", "is_match"]
+    ).drop_duplicates(subset=["conv_id_a", "conv_id_b"])
+
+
 def labeled_pairs_from_gold(
     gold: pd.DataFrame, seed: int = 42, neg_per_conv: int = 3
 ) -> pd.DataFrame:

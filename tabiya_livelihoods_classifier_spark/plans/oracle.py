@@ -210,11 +210,12 @@ def oracle_pipeline(turns: pd.DataFrame, cfg: ERConfig = ERConfig()) -> dict:
             blocks[k].append((sid, n_members))
         for rs, rs_n in s["role_sigs"].items():
             blocks["#".join(["ck", rs, lead])].append((sid, rs_n))
-    # block purging by record mass (purge_oversized_by_mass twin)
+    # block purging by RESIDUAL record mass (purge_oversized_by_mass twin):
+    # mass outside the dominant signature must stay under the threshold
     blocks = {
         k: [sid for sid, _ in v]
         for k, v in blocks.items()
-        if sum(m for _, m in v) <= cfg.purge_block_size
+        if sum(m for _, m in v) - max(m for _, m in v) <= cfg.purge_block_size
     }
     max_block = max((len(v) for v in blocks.values()), default=0)
     assert max_block <= cfg.max_block_size, (

@@ -144,30 +144,34 @@ def conversation_records(
         "turn_idx",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
     )
+    # ONE wide aggregation over the exploded token stream: (conv, token) ->
+    # turn count. Everything downstream derives from this ~25x smaller
+    # table: the corpus turn-DF of a token is sum(n_tok_turns) (rows are
+    # distinct per (conv, turn, token)), so the stop-token aggregate reads
+    # tok_counts, NOT the 84M-row explode again, and the stop filter is a
+    # token-level anti-join on tok_counts (dropping a stop token after
+    # counting equals dropping it before — the count is per (conv, token)).
+    # Measured at bench16: removes a second full pass + an 84M-row
+    # anti-join from the records stage.
+    tok_counts = turn_tokens.groupBy("conv_id", "token").agg(
+        F.count("*").alias("n_tok_turns")
+    )
     # corpus boilerplate by turn document-frequency, FULLY DECLARATIVE: the
     # total-turn count is a broadcast 1-row aggregate and the stop set is a
     # broadcast anti-join side — no driver collect()s, so the whole records
     # stage is one DAG with no scheduler barriers between sub-aggregations.
-    # (turn_tokens is already distinct per (conv, turn, token) — it explodes
-    # array_distinct per turn — so count(*) IS the turn document frequency.)
     n_turns_total = canon.groupBy().agg(
         F.count_distinct("conv_id", "turn_idx").alias("n_turns_total")
     )
     turn_stop_df = (
-        turn_tokens.groupBy("token")
-        .agg(F.count("*").alias("tdf"))
+        tok_counts.groupBy("token")
+        .agg(F.sum("n_tok_turns").alias("tdf"))
         .crossJoin(F.broadcast(n_turns_total))
         .filter(F.col("tdf") > TURN_STOP_DF * F.col("n_turns_total"))
         .select("token")
     )
-    turn_tokens = turn_tokens.join(
-        F.broadcast(turn_stop_df), "token", "left_anti"
-    )
     majority = (
-        # count(*) == countDistinct(turn_idx) here (rows unique per conv/
-        # turn/token); countDistinct would plan an Expand + two aggregates
-        turn_tokens.groupBy("conv_id", "token")
-        .agg(F.count("*").alias("n_tok_turns"))
+        tok_counts.join(F.broadcast(turn_stop_df), "token", "left_anti")
         .join(per_conv.select("conv_id", "n_turns"), "conv_id")
         .filter(F.col("n_tok_turns") > MAJORITY_TURN_FRACTION * F.col("n_turns"))
         .groupBy("conv_id")
@@ -281,16 +285,17 @@ def signature_block_membership(
     union over members — so any record pair that would have blocked on its
     composite key still blocks at signature level.
 
-    Purging weighs each block by RECORD mass (sum of member counts), not by
-    signature count: a band block's record members are the disjoint union
-    of its signatures' member groups, so mass-purging makes the same
-    purge decisions as record-level blocking. This matters for quality, not
-    just parity — the over-collapsed "degenerate" signatures (records that
-    lost their discriminating tokens to noise) form high-mass collision
-    blocks, and purging them is what stops degenerate records from chain-
-    merging sibling entities (measured at bench16: count-purged clustering
-    collapsed 1700 entities into 761 clusters; mass-purged keeps them
-    separate)."""
+    Purging weighs each block by RESIDUAL record mass — records outside the
+    block's dominant signature (operators/blocking.purge_oversized_by_mass,
+    measured rationale there). This is the precision guard: collision
+    blocks (degenerate signatures, coarse composite keys) spread mass over
+    many entities' signatures and are purged; a heavily-duplicated single
+    entity's blocks concentrate mass in one signature and survive no matter
+    how large the entity is. (Measured: signature-COUNT purging chain-
+    merged 1700 entities into 761 clusters at bench16; TOTAL-mass purging
+    fragmented them into 6247 at bench32; residual-mass yields 1774
+    clusters at bench32 with sampled pairwise precision 1.0 and
+    F1 0.99995.)"""
     bands = sig.select(
         F.explode(
             minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows)

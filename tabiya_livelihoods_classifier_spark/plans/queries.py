@@ -446,60 +446,75 @@ def _with_shingles(corpus: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Candidate-generation guard: shingles present in more docs than this are
+# skipped for PAIR GENERATION (their quadratic fan-out buys ~no precision:
+# a pair at Jaccard >= 0.5 shares many shingles, almost all of them rare).
+# Final Jaccard is still EXACT — computed from the full shingle sets of the
+# surviving candidates — so the cap bounds the join (<= cap^2/2 pairs per
+# shingle) without approximating the similarity itself. Same discipline as
+# the LSH path's block purging (operators/blocking.purge_oversized).
+SHINGLE_DF_CAP = 200
+
+
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
-    # carry |sh| through the explode so no join back to a sizes table is
-    # needed: the pair aggregation picks it up with first() for free (the
-    # shuffle widens by one int column vs two whole extra shuffle joins).
-    exploded = sh.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # shingles() emits distinct shingles per doc, so count(*) IS the doc
+    # frequency; hot shingles are rare (tiny anti-join side, AQE broadcasts)
+    hot = (
+        exploded.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
     )
+    rare = exploded.join(hot, "s", "left_anti")
     # fact x fact self-join: force shuffled-hash — broadcasting an exploded
     # corpus is impossible at scale, and Spark's size estimate of the
-    # post-explode side is wildly low here.
-    a = exploded.alias("a")
-    b = exploded.hint("shuffle_hash").alias("b")
-    inter = (
+    # post-explode side is wildly low here. Fan-out per shingle is bounded
+    # by SHINGLE_DF_CAP.
+    a = rare.alias("a")
+    b = rare.hint("shuffle_hash").alias("b")
+    cand = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = (
-        inter.withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+        / F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
-    return jac
 
 
 Q12_SQL = f"""
 WITH {_CORPUS_CTE.strip()},
 {_SHINGLE_CTE.strip()},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
-sizes AS (SELECT doc_id, len(sh) AS n FROM shing),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+rare AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
-       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6)
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
          AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+FROM cand
+JOIN shing sa ON sa.doc_id = id_a
+JOIN shing sb ON sb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
+      >= 0.5
 """
 
 
@@ -943,8 +958,13 @@ def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     sim = dot.cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
+    # exact brute-force baseline, but with a SCALE-SAFE join strategy: a
+    # shuffle-replicated cartesian (each task pairs one query block with one
+    # candidate block) instead of broadcasting the entire candidate corpus
+    # to every executor — the broadcast dies at 100 TB, the cartesian
+    # doesn't. q22 is the sub-quadratic IVF route for the same predicate.
     scored = (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(b.hint("shuffle_replicate_nl"))
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn("sim", sim)
     )
@@ -1707,9 +1727,15 @@ FROM s GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
-# Q34  embedding-cosine near-duplicate pairs (dedup family, exact baseline;
-#      q22's IVF routing is the 100-TB path for the same predicate)
+# Q34  embedding-cosine near-duplicate pairs via sign-band LSH: candidate
+#      pairs come from 8-bit hyperplane-sign band keys (equi-join, sub-
+#      quadratic — a pair at cosine >= 0.98 differs on ~4/64 signs, so it
+#      agrees on at least one 8-bit band with overwhelming probability),
+#      then EXACT cosine within candidates. No all-pairs join anywhere.
 # --------------------------------------------------------------------------
+
+_NEARDUP_BANDS = 8
+_NEARDUP_BAND_BITS = 8
 
 
 def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,10 +1767,43 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vecs.withColumn("nq", nq).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    a = vecs.select(
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(f"b{j}"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.when(
+                            F.element_at(
+                                F.col("q"), j * _NEARDUP_BAND_BITS + i + 1
+                            )
+                            > 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for i in range(_NEARDUP_BAND_BITS)
+                    ],
+                ),
+            )
+            for j in range(_NEARDUP_BANDS)
+        ]
+    )
+    bands = vecs.select("vec_id", F.explode(band_keys).alias("bk"))
+    ba = bands.alias("ba")
+    bb = bands.hint("shuffle_hash").alias("bb")
+    cand = (
+        ba.join(bb, "bk")
+        .filter(F.col("ba.vec_id") < F.col("bb.vec_id"))
+        .select(
+            F.col("ba.vec_id").alias("id_a"), F.col("bb.vec_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = vecs.select(
         F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("nq").alias("na")
     )
-    b = vecs.select(
+    fb = vecs.select(
         F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
     )
     dot = F.aggregate(
@@ -1756,8 +1815,8 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
     return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= 0.98)
         .select("id_a", "id_b", "sim")
@@ -1778,12 +1837,24 @@ vecs AS (
          list_transform(e, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
   FROM corpus),
 norms AS (
-  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM vecs)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM vecs),
+bands AS (
+  SELECT vec_id,
+         'b' || j || '|' ||
+         array_to_string(list_transform(q[(8 * j + 1):(8 * j + 8)],
+                         x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')
+           AS bk
+  FROM vecs CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
        round(CAST(list_sum(list_transform(range(1, 65),
                  i -> a.q[i] * b.q[i])) AS DOUBLE)
              / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6) AS sim
-FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+FROM cand
+JOIN norms a ON a.vec_id = id_a
+JOIN norms b ON b.vec_id = id_b
 WHERE round(CAST(list_sum(list_transform(range(1, 65),
             i -> a.q[i] * b.q[i])) AS DOUBLE)
             / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6) >= 0.98
@@ -1846,29 +1917,82 @@ FROM ents
 
 
 # --------------------------------------------------------------------------
-# Q36  tolerant JSON field extraction (P15/P16, §2.7 JSON family):
-#      from_json with schema + try-semantics over the events.props strings
+# Q36  tolerant payload extraction (P15/P16): the reference's fallback
+#      chain JSON -> literal_eval -> delimiter/regex scrape
+#      (2_2_clean_bert_results.py:170-250) as an expression CASCADE. The
+#      events.props corpus is clean JSON, so malformed tiers are derived
+#      deterministically first: every 3rd row becomes python-ish
+#      single-quoted dict (literal tier), every 3rd+1 a 'k=<n>;...'
+#      delimiter string (regex tier), the rest stay JSON.
 # --------------------------------------------------------------------------
 
 
 def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k int")
-    return ev.select(
+    payload = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.translate(F.col("props"), '"', "'"),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("k="),
+                F.get_json_object(F.col("props"), "$.k"),
+                F.lit(";src=evt"),
+            ),
+        )
+        .otherwise(F.col("props"))
+    )
+    df = ev.select("event_id", payload.alias("payload"))
+    # allowSingleQuotes=false: Jackson's lenient default would swallow the
+    # literal tier's python-ish quoting and misreport it as strict JSON
+    k_json = F.from_json(
+        F.col("payload"), "k int", {"allowSingleQuotes": "false"}
+    )["k"]
+    # literal tier: deterministic single->double quote normalization, the
+    # engine-portable analog of ast.literal_eval on dict-ish strings
+    k_lit = F.from_json(F.translate(F.col("payload"), "'", '"'), "k int")["k"]
+    k_rx = F.regexp_extract(F.col("payload"), r"k=(-?\d+)", 1).cast("int")
+    tier = (
+        F.when(k_json.isNotNull(), F.lit("json"))
+        .when(k_lit.isNotNull(), F.lit("literal"))
+        .when(k_rx.isNotNull(), F.lit("regex"))
+        .otherwise(F.lit("failed"))
+    )
+    return df.select(
         "event_id",
-        parsed["k"].alias("k"),
-        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_path"),
-        (parsed["k"].isNotNull()).alias("parse_ok"),
+        F.coalesce(k_json, k_lit, k_rx).alias("k"),
+        tier.alias("parse_tier"),
     )
 
 
 Q36_SQL = """
+WITH pay AS (
+  SELECT event_id,
+         CASE
+           WHEN event_id % 3 = 0 THEN replace(props, '"', CHR(39))
+           WHEN event_id % 3 = 1
+             THEN 'k=' || json_extract_string(props, '$.k') || ';src=evt'
+           ELSE props
+         END AS payload
+  FROM events),
+tiers AS (
+  SELECT event_id,
+         TRY_CAST(json_extract_string(TRY_CAST(payload AS JSON), '$.k')
+                  AS INT) AS k_json,
+         TRY_CAST(json_extract_string(
+                    TRY_CAST(replace(payload, CHR(39), '"') AS JSON), '$.k')
+                  AS INT) AS k_lit,
+         TRY_CAST(regexp_extract(payload, 'k=(-?\\d+)', 1) AS INT) AS k_rx
+  FROM pay)
 SELECT event_id,
-       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
-       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
-       TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
-         AS parse_ok
-FROM events
+       COALESCE(k_json, k_lit, k_rx) AS k,
+       CASE WHEN k_json IS NOT NULL THEN 'json'
+            WHEN k_lit IS NOT NULL THEN 'literal'
+            WHEN k_rx IS NOT NULL THEN 'regex'
+            ELSE 'failed' END AS parse_tier
+FROM tiers
 """
 
 
@@ -2134,7 +2258,7 @@ FROM c
 #      with a broadcast k table; IDCG relational (no hardcoded constants)
 # --------------------------------------------------------------------------
 
-IR_K_GRID = (1, 4, 16, 32)
+from tabiya_livelihoods_classifier_spark.config import IR_KS as IR_K_GRID
 
 
 def q41_ir_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:

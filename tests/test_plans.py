@@ -1,0 +1,51 @@
+"""Physical-plan assertions: the battery queries must compile to the
+join/scan shapes that survive a 100x scale-up (no full-corpus broadcast,
+column pruning at the parquet scan)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tabiya_livelihoods_classifier_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q20_exact_baseline_join_is_shuffle_cartesian(spark):
+    """Exact brute-force kNN must not broadcast the candidate corpus: the
+    scale-safe strategy is a shuffle-replicated cartesian."""
+    p = _plan(QUERIES["q20_ann_topk"](spark, SF))
+    assert "CartesianProduct" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q34_neardup_has_no_allpairs_join(spark):
+    """Sign-band LSH near-dup: candidates via equi-join on band keys only —
+    no cartesian, no broadcast nested loop anywhere in the plan."""
+    p = _plan(QUERIES["q34_embedding_neardup"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q12_exact_jaccard_is_equi_join_only(spark):
+    p = _plan(QUERIES["q12_jaccard_pairs"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q01_scan_prunes_columns(spark):
+    """Column pruning reaches the lineitem scan: the 16-column table is read
+    with only the handful of columns q01 touches."""
+    p = _plan(QUERIES["q01_pricing_summary"](spark, SF))
+    read_schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, p
+    assert all("l_comment" not in ln for ln in read_schemas), read_schemas
+    assert any("l_returnflag" in ln for ln in read_schemas), read_schemas
