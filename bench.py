@@ -173,11 +173,15 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     spark = get_spark(
         app_name=f"er-bench-{cores}",
         master=master,
-        # 2x cores halves stragglers on the record-aggregation shuffles; AQE
-        # coalescing stays ON — post-signature-collapse the fuzzy-stage
-        # shuffles are tiny (10^4-row tables) and per-task overhead at 64
-        # fixed partitions costs more than any straggler it prevents.
-        shuffle_partitions=2 * max(cores, 8),
+        # FIXED 64 shuffle partitions on every leg: identical job + config,
+        # only the core count varies (a real cluster's
+        # spark.sql.shuffle.partitions doesn't scale with executors
+        # either). 64 also keeps per-task sort buffers small enough that
+        # the record-aggregation stage doesn't spill when 8 tasks run
+        # concurrently (A/B at bench32, same host window: 16 partitions ->
+        # 247 s, 64 partitions -> 200 s at local[8]; local[2] indifferent).
+        # AQE coalesces the tiny post-collapse shuffles either way.
+        shuffle_partitions=64,
         extra_conf={
             **BENCH_CONF,
             # shuffle/spill on tmpfs: the sandbox's /tmp is a VM block

@@ -94,6 +94,7 @@ SCALES = {
     # real agent transcripts carry the entity mention many times.
     "bench16": Scale(convs=800_000, entities=1700, turns_lo=8, turns_hi=12),
     "bench32": Scale(convs=1_600_000, entities=1700, turns_lo=8, turns_hi=12),
+    "bench64": Scale(convs=3_200_000, entities=1700, turns_lo=8, turns_hi=12),
 }
 
 
