@@ -528,7 +528,7 @@ and 4N executors.
 | local[{n_small}]  (N)  | {results[n_small]['wall_s']} | {results[n_small]['tps']:,} |
 | local[{n_big}] (4N) | {results[n_big]['wall_s']} | {results[n_big]['tps']:,} |
 
-**Scaling efficiency (tps@4N / tps@N) / {n_big // n_small} = {eff}**
+**Scaling efficiency (tps@4N / tps@N) / ({n_big}/{n_small}) = {eff}**
 (target >= 0.8).
 
 Clusters produced (identical at both levels): {results[n_small]['clusters']}
@@ -536,7 +536,7 @@ vs {results[n_big]['clusters']}.
 {cap_md}{att_md}
 Reproduce: `python bench.py --scaling` (env `SPARK_GRAFT_ER_SCALE` selects
 the corpus scale, default `bench16` = 800k conversations / 5.6M turns;
-`SPARK_GRAFT_ER_CORES` the leg sizes, default `4,16`;
+`SPARK_GRAFT_ER_CORES` the leg sizes, default `2,8`;
 `SPARK_GRAFT_ER_REPEATS` attempts per leg, default 2;
 `SPARK_GRAFT_ER_TURNS` reuses a pre-materialized corpus dir).
 """

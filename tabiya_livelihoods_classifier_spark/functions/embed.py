@@ -19,6 +19,7 @@ ANN queries over the `embeddings` table).
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -62,6 +63,29 @@ def embed_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched embedding UDF: string -> array<double>[EMBED_DIM]."""
     mat = embed_batch(texts)
     return pd.Series(list(mat))
+
+
+def make_embed_udf(model_factory):
+    """Real-model seam: a pandas UDF around any ``encode(list[str]) ->
+    (n, dim) ndarray`` model, with LAZY PER-TASK initialization.
+
+    The iterator-of-Series form is the documented Spark pattern for
+    expensive state: ``model_factory()`` runs once when the task's first
+    Arrow batch arrives (a production user constructs the
+    SentenceTransformer there — linker.py:203-204), then every batch reuses
+    it. Swapping the deterministic hashing embedder for a real encoder is
+    exactly `make_embed_udf(lambda: SentenceTransformer(...))` — no other
+    pipeline change.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = model_factory()  # once per task, NOT per batch or row
+        for texts in batches:
+            mat = np.asarray(model.encode(list(texts)), dtype=np.float64)
+            yield pd.Series(list(mat))
+
+    return _udf
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

@@ -151,6 +151,8 @@ def extract_entities_df(
     lexicon: dict[str, str],
     text_col: str = "text",
     per_sentence: bool = False,
+    tagger_factory=None,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """mapInPandas extraction stage: (doc_id, text) -> one row per entity.
 
@@ -165,6 +167,15 @@ def extract_entities_df(
     tags sentence by sentence, exactly how the reference bounds transformer
     input: entities never span a sentence boundary; ent_idx keeps running
     document order.
+
+    `tagger_factory` is the REAL-MODEL seam: a zero-arg callable returning
+    a `tokens -> BIO tags` function, invoked ONCE per mapInPandas task
+    (lazy per-partition init — where a production user constructs the
+    transformer pipeline), never per document or per row. Default None
+    keeps the deterministic dictionary tagger. `max_tokens` is the
+    truncation guard (linker.py:233: the reference hard-truncates inputs
+    past the encoder window): token lists are clipped BEFORE tagging, so an
+    over-long unit degrades to its prefix instead of erroring.
     """
     import re
 
@@ -173,6 +184,12 @@ def extract_entities_df(
     token_re = re.compile(r"[^a-z0-9]+")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task model init (expensive for a real transformer) — amortized
+        # over every batch and row this task processes
+        if tagger_factory is not None:
+            tag = tagger_factory()
+        else:
+            tag = lambda toks: rule_tagger(toks, lexicon)  # noqa: E731
         for pdf in batches:
             out = {"doc_id": [], "ent_idx": [], "ent_type": [], "ent_text": []}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
@@ -182,7 +199,12 @@ def extract_entities_df(
                     toks = [
                         t for t in token_re.split((unit or "").lower()) if t
                     ]
-                    ents.extend(extract_pipeline(toks, lexicon))
+                    if max_tokens is not None:
+                        toks = toks[:max_tokens]
+                    tags = tag(toks)
+                    tags = fix_bio_tags(tags) if tags else tags
+                    toks, tags = remove_special_tokens_and_tags(toks, tags)
+                    ents.extend(extract_entities(toks, tags))
                 for i, ent in enumerate(ents):
                     out["doc_id"].append(doc_id)
                     out["ent_idx"].append(i)

@@ -141,15 +141,20 @@ def connected_components(
     # only job — the probe IS the edge set. Only a probe that comes back
     # full pays a count for the byte-estimated gate.
     probe = reduced.limit(_PROBE_ROWS + 1).collect()
-    if len(probe) <= _PROBE_ROWS and (
-        len(probe) * _bytes_per_row(probe[:1000]) <= DRIVER_STITCH_MAX_BYTES
-    ):
-        edge_rows = probe
+    # byte-gate width estimate from a STRIDE sample across the whole probe
+    # (not its first 1000 rows): id widths can drift through the dataset and
+    # a prefix sample would under-estimate the collected payload.
+    sample = probe[:: max(1, len(probe) // 1000)] if probe else probe
+    if len(probe) <= _PROBE_ROWS:
+        # the probe IS the complete edge set — no separate count() job
         n_reduced = len(probe)
-        use_driver = True
+        use_driver = (
+            n_reduced * _bytes_per_row(sample) <= DRIVER_STITCH_MAX_BYTES
+        )
+        edge_rows = probe if use_driver else None
     else:
         n_reduced = reduced.count()
-        est = n_reduced * _bytes_per_row(probe[:1000])
+        est = n_reduced * _bytes_per_row(sample)
         use_driver = est <= DRIVER_STITCH_MAX_BYTES
         edge_rows = None
     if use_driver:

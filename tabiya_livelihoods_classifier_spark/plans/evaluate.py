@@ -81,11 +81,15 @@ def labeled_pairs_sampled(
     all_convs = sorted(phrase_of)
     for conv in all_convs:
         for _ in range(neg_per_conv):
-            other = all_convs[rng.randrange(len(all_convs))]
-            if other == conv or phrase_of[other] == phrase_of[conv]:
-                continue
-            a, b = (conv, other) if conv < other else (other, conv)
-            rows.append((a, b, "blk-neg", False))
+            # redraw (bounded) on self / same-entity hits so every
+            # conversation contributes its full negative quota — a skipped
+            # draw would bias the pool on small or few-entity corpora
+            for _attempt in range(8):
+                other = all_convs[rng.randrange(len(all_convs))]
+                if other != conv and phrase_of[other] != phrase_of[conv]:
+                    a, b = (conv, other) if conv < other else (other, conv)
+                    rows.append((a, b, "blk-neg", False))
+                    break
     return pd.DataFrame(
         rows, columns=["conv_id_a", "conv_id_b", "block_key", "is_match"]
     ).drop_duplicates(subset=["conv_id_a", "conv_id_b"])

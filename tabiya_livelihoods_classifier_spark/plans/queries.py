@@ -448,52 +448,116 @@ def _with_shingles(corpus: DataFrame) -> DataFrame:
 
 # Candidate-generation guard: shingles present in more docs than this are
 # skipped for PAIR GENERATION (their quadratic fan-out buys ~no precision:
-# a pair at Jaccard >= 0.5 shares many shingles, almost all of them rare).
-# Final Jaccard is still EXACT — computed from the full shingle sets of the
-# surviving candidates — so the cap bounds the join (<= cap^2/2 pairs per
-# shingle) without approximating the similarity itself. Same discipline as
-# the LSH path's block purging (operators/blocking.purge_oversized).
+# a pair at Jaccard >= 0.5 shares many rare shingles). The cap bounds the
+# self-join (<= cap^2/2 pairs per shingle) — same discipline as the LSH
+# path's block purging (operators/blocking.purge_oversized). Recall bound:
+# a pair ALL of whose shared shingles are hot is only recovered when the
+# two shingle SETS are identical (the set-signature path below, covering
+# the duplicate-heavy case of >cap near-identical docs); a non-identical
+# pair overlapping exclusively on hot shingles stays ungenerated by design.
+# Jaccard on every EMITTED pair is exact: |rare∩| is counted in the
+# candidate join itself, |hot∩| from the per-doc hot-shingle arrays (tiny:
+# bounded by the number of distinct hot shingles), and |A∪B|=|A|+|B|-|A∩B|
+# from per-doc shingle counts — no full-shingle-array rejoin anywhere.
 SHINGLE_DF_CAP = 200
 
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape chosen by measurement: the classic rare-shingle SELF-JOIN plan
+    # (round 2) consumed the shingled corpus from 10 branches (10 full
+    # tokenize+shingle passes) and pushed 2.7M join rows through 8
+    # sequential exchanges. This formulation groups the exploded corpus by
+    # shingle ONCE and generates candidate pairs INSIDE the grouped arrays
+    # (bounded by SHINGLE_DF_CAP^2/2 per shingle), so the whole query is 2
+    # tokenize passes and ~5 exchanges, with no self-join and no persist.
     sh = _with_shingles(_perturbed_corpus(spark, sf_dir))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    # shingles() emits distinct shingles per doc, so count(*) IS the doc
-    # frequency; hot shingles are rare (tiny anti-join side, AQE broadcasts)
-    hot = (
-        exploded.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("s")
+    # shingles() emits distinct shingles per doc, so the group size IS the
+    # doc frequency; sorted doc lists make pair order (id_a < id_b)
+    # deterministic in-array.
+    bys = exploded.groupBy("s").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
-    rare = exploded.join(hot, "s", "left_anti")
-    # fact x fact self-join: force shuffled-hash — broadcasting an exploded
-    # corpus is impossible at scale, and Spark's size estimate of the
-    # post-explode side is wildly low here. Fan-out per shingle is bounded
-    # by SHINGLE_DF_CAP.
-    a = rare.alias("a")
-    b = rare.hint("shuffle_hash").alias("b")
+    # the (tiny, bounded) hot-shingle set folded back as a broadcast 1-row
+    # aggregate — same pattern as the ER pipeline's stop-token array
+    hot_one = bys.filter(F.size("ds") > SHINGLE_DF_CAP).agg(
+        F.collect_list("s").alias("hot_g")
+    )
+    empty = F.array().cast("array<string>")
+    # per-doc stats need NO aggregation at all: total count, the doc's
+    # (tiny) hot-shingle array, and the set signature for the hot-only
+    # recovery path are all pure expressions over the shingle array.
+    # Empty shingle sets are excluded (Jaccard undefined — and md5("")
+    # must not pair all empty docs at 1.0).
+    stats = (
+        sh.filter(F.size("sh") > 0)
+        .crossJoin(F.broadcast(hot_one))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n"),
+            F.array_sort(
+                F.array_intersect("sh", F.coalesce("hot_g", empty))
+            ).alias("hot_arr"),
+            F.md5(F.array_join(F.array_sort("sh"), "\x01")).alias("ss"),
+        )
+    )
+    # candidate pairs generated in-array per rare shingle: (ds[i], ds[j])
+    # for i < j — fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join.
+    # The grouped count over them IS |rare(A) ∩ rare(B)|.
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        bys.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP)
+        )
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("common_rare"))
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    sa = stats.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
+        F.col("hot_arr").alias("ha"),
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("hot_arr").alias("hb"),
+    )
+    common = F.col("common_rare") + F.size(F.array_intersect("ha", "hb"))
     jac = F.round(
-        F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
-        / F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double"),
+        common.cast("double")
+        / (F.col("na") + F.col("nb") - common).cast("double"),
         6,
     )
-    return (
+    rare_pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
+    # hot-only recovery (duplicate-heavy corpora): docs whose shingle sets
+    # are IDENTICAL pair at Jaccard exactly 1.0 even when every shingle is
+    # hot — pair them within set-signature groups (output-bound: these are
+    # true result rows, not intermediate fan-out).
+    sig = stats.select("doc_id", "ss")
+    eq = (
+        sig.alias("x")
+        .join(sig.hint("shuffle_hash").alias("y"), "ss")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return rare_pairs.unionByName(eq).dropDuplicates(["id_a", "id_b"])
 
 
 Q12_SQL = f"""
@@ -501,20 +565,33 @@ WITH {_CORPUS_CTE.strip()},
 {_SHINGLE_CTE.strip()},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
 hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n,
+         COALESCE(list_sort(list(s) FILTER (WHERE s IN (SELECT s FROM hot))),
+                  []) AS hot_arr,
+         md5(array_to_string(list_sort(list(s)), chr(1))) AS ss
+  FROM ex GROUP BY doc_id),
 rare AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
-         AS jaccard
-FROM cand
-JOIN shing sa ON sa.doc_id = id_a
-JOIN shing sb ON sb.doc_id = id_b
-WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)
-      >= 0.5
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common_rare
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+rare_pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(common_rare + len(list_intersect(sa.hot_arr, sb.hot_arr))
+                    AS DOUBLE)
+               / CAST(sa.n + sb.n - common_rare
+                      - len(list_intersect(sa.hot_arr, sb.hot_arr))
+                      AS DOUBLE), 6) AS jaccard
+  FROM cand
+  JOIN stats sa ON sa.doc_id = id_a
+  JOIN stats sb ON sb.doc_id = id_b),
+eq AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM stats x JOIN stats y ON x.ss = y.ss AND x.doc_id < y.doc_id)
+SELECT DISTINCT id_a, id_b, jaccard FROM (
+  SELECT * FROM rare_pairs WHERE jaccard >= 0.5
+  UNION ALL SELECT * FROM eq)
 """
 
 
@@ -924,16 +1001,23 @@ def _idcg_table(spark: SparkSession, kmax: int) -> DataFrame:
 
     Relational replacement for a hardcoded IDCG case table (evaluator.py
     computes this inside sentence-transformers' IR evaluator): rank
-    discounts as exact DECIMAL(18,12) terms, cumulated with a window — the
-    same decimal discipline as the DCG sums, so both engines agree bitwise.
+    discounts as exact DECIMAL(18,12) terms, prefix-summed with
+    sequence+aggregate per row — the same decimal discipline as the DCG
+    sums, so both engines agree bitwise. No window: an unpartitioned
+    cumulative window (even over kmax<=32 rows) moves the table to a single
+    partition and its WindowExec warning drowns out REAL single-partition
+    regressions in the bench log.
     """
     dec = "decimal(18,12)"
-    ranks = spark.range(1, kmax + 1).select(
-        F.col("id").cast("int").alias("r"),
-        (F.lit(1.0) / F.log2(F.col("id") + 1)).cast(dec).alias("disc"),
-    )
-    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    return ranks.withColumn("idcg", F.sum("disc").over(w)).select("r", "idcg")
+    ranks = spark.range(1, kmax + 1).select(F.col("id").cast("int").alias("r"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("r")),
+        F.lit(0).cast("decimal(20,12)"),
+        lambda acc, i: (
+            acc + (F.lit(1.0) / F.log2(i + 1)).cast(dec)
+        ).cast("decimal(20,12)"),
+    ).cast(dec)
+    return ranks.select("r", idcg.alias("idcg"))
 
 
 def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
@@ -985,17 +1069,49 @@ def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+# Corpus-size gate for the user-facing ANN entry: at or below this row
+# count the exact brute-force path runs (O(Q x C) compute — affordable, and
+# it is what the DuckDB oracle verifies at the correctness scale); above it
+# the query routes through the q22 IVF centroid-bucket path, which keeps
+# the same top-k-per-query contract sub-quadratically. A cartesian in a
+# user-facing default is a scale-killer regardless of join strategy; the
+# exact path survives only as the small-N baseline.
+ANN_EXACT_MAX_ROWS = 1000
+
+
 def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per query (every 10th vector queries all)."""
-    return _knn_topk(spark, sf_dir, 5).select(
-        "query_id", "candidate_id", "rnk", "sim"
-    )
+    """Cosine top-5 per query (every 10th vector queries all): exact
+    brute force under ANN_EXACT_MAX_ROWS, IVF-bucketed above it."""
+    n = load(spark, sf_dir, "embeddings").count()
+    if n <= ANN_EXACT_MAX_ROWS:
+        return _knn_topk(spark, sf_dir, 5).select(
+            "query_id", "candidate_id", "rnk", "sim"
+        )
+    return _ivf_topk(spark, sf_dir, 5)
 
 
 Q20_SQL = f"""
 WITH {_KNN_CTE.strip()}
 SELECT query_id, candidate_id, rnk, sim FROM ranked WHERE rnk <= 5
 """
+
+
+def _nrel_per_query(vecs: DataFrame) -> DataFrame:
+    """(query_id, n_rel): relevant candidates per query in the FULL pool.
+
+    Relevance is label equality, so n_rel is a pure function of the label
+    histogram: count vectors sharing the query's label, minus the query
+    itself. One O(|corpus|) aggregate + a broadcast join — no
+    (queries x corpus) theta-join whose pushed-down equality a refactor
+    could silently un-push into a broadcast nested loop.
+    """
+    label_counts = vecs.groupBy("label").agg(F.count("*").alias("n_lab"))
+    return (
+        vecs.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(label_counts), "label")
+        .select("query_id", (F.col("n_lab") - 1).alias("n_rel"))
+    )
 
 
 def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,18 +1123,7 @@ def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
     )
     # total relevant per query in full candidate pool (for recall/ndcg)
-    vecs = _quantized_vecs(spark, sf_dir)
-    nrel = (
-        vecs.filter(F.col("vec_id") % 10 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
-        .join(
-            vecs.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
-            F.col("cid") != F.col("query_id"),
-        )
-        .filter(F.col("ql") == F.col("cl"))
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_rel"))
-    )
+    nrel = _nrel_per_query(_quantized_vecs(spark, sf_dir))
     dec = "decimal(18,12)"
     cum_w = (
         Window.partitionBy("query_id")
@@ -1163,7 +1268,7 @@ FROM fin
 # --------------------------------------------------------------------------
 
 
-def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir)
     # centroids: elementwise mean of quantized vectors per label, requantized
     cent = (
@@ -1230,9 +1335,13 @@ def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "candidate_id", "rnk", F.round("sim", 6).alias("sim"))
     )
+
+
+def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, 5)
 
 
 Q22_SQL = f"""
@@ -1732,6 +1841,13 @@ FROM s GROUP BY user_id, sid
 #      quadratic — a pair at cosine >= 0.98 differs on ~4/64 signs, so it
 #      agrees on at least one 8-bit band with overwhelming probability),
 #      then EXACT cosine within candidates. No all-pairs join anywhere.
+#      Recall bound (like q12's SHINGLE_DF_CAP note): a sim >= 0.98 pair
+#      whose differing coordinates sit near zero can flip sign in EVERY
+#      band and never collide — deterministic, and mirrored in the SQL
+#      twin, so the oracle verifies the candidate contract, not perfect
+#      recall. Tightening it means a second offset band layout (bands
+#      shifted by band_bits/2), trading 2x candidate volume for a squared
+#      miss probability.
 # --------------------------------------------------------------------------
 
 _NEARDUP_BANDS = 8
@@ -1929,6 +2045,13 @@ FROM ents
 
 def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    kstr = F.get_json_object(F.col("props"), "$.k")
+    kint = kstr.cast("int")
+    # regex-tier payloads carry a quoted multi-value 'retrieved' list WITH
+    # duplicates (derived from k, deterministic) — the hardest shape the
+    # reference's fallback scrape recovers (2_2_clean_bert_results.py:
+    # 213-250: "'retrieved': '...'" list extraction + ordered dedupe).
+    lab = lambda c: F.concat(F.lit("lab"), c.cast("string"))  # noqa: E731
     payload = (
         F.when(
             F.col("event_id") % 3 == 0,
@@ -1937,9 +2060,11 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("event_id") % 3 == 1,
             F.concat(
-                F.lit("k="),
-                F.get_json_object(F.col("props"), "$.k"),
-                F.lit(";src=evt"),
+                F.lit("k="), kstr,
+                F.lit(";retrieved='"), lab(kint % 5),
+                F.lit("|"), lab((kint + 1) % 5),
+                F.lit("|"), lab(kint % 5),
+                F.lit("';src=evt"),
             ),
         )
         .otherwise(F.col("props"))
@@ -1960,10 +2085,23 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k_rx.isNotNull(), F.lit("regex"))
         .otherwise(F.lit("failed"))
     )
+    # multi-value recovery (P16 hardest tier): scrape the quoted list, split
+    # on '|', order-preserving dedupe (T2 remove_duplicates_ordered analog:
+    # keep an element only at its FIRST position) — all JVM expressions.
+    ret_raw = F.regexp_extract(F.col("payload"), r"retrieved='([^']*)'", 1)
+    ret_list = F.split(ret_raw, r"\|")
+    ret = F.when(
+        ret_raw != "",
+        F.filter(
+            ret_list,
+            lambda x, i: F.array_position(ret_list, x) == i + 1,
+        ),
+    )
     return df.select(
         "event_id",
         F.coalesce(k_json, k_lit, k_rx).alias("k"),
         tier.alias("parse_tier"),
+        ret.alias("retrieved"),
     )
 
 
@@ -1973,25 +2111,40 @@ WITH pay AS (
          CASE
            WHEN event_id % 3 = 0 THEN replace(props, '"', CHR(39))
            WHEN event_id % 3 = 1
-             THEN 'k=' || json_extract_string(props, '$.k') || ';src=evt'
+             THEN 'k=' || json_extract_string(props, '$.k')
+                  || ';retrieved=''lab'
+                  || CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                          % 5 AS VARCHAR)
+                  || '|lab'
+                  || CAST((TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                           + 1) % 5 AS VARCHAR)
+                  || '|lab'
+                  || CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                          % 5 AS VARCHAR)
+                  || ''';src=evt'
            ELSE props
          END AS payload
   FROM events),
 tiers AS (
-  SELECT event_id,
+  SELECT event_id, payload,
          TRY_CAST(json_extract_string(TRY_CAST(payload AS JSON), '$.k')
                   AS INT) AS k_json,
          TRY_CAST(json_extract_string(
                     TRY_CAST(replace(payload, CHR(39), '"') AS JSON), '$.k')
                   AS INT) AS k_lit,
-         TRY_CAST(regexp_extract(payload, 'k=(-?\\d+)', 1) AS INT) AS k_rx
+         TRY_CAST(regexp_extract(payload, 'k=(-?\\d+)', 1) AS INT) AS k_rx,
+         regexp_extract(payload, 'retrieved=''([^'']*)''', 1) AS ret_raw
   FROM pay)
 SELECT event_id,
        COALESCE(k_json, k_lit, k_rx) AS k,
        CASE WHEN k_json IS NOT NULL THEN 'json'
             WHEN k_lit IS NOT NULL THEN 'literal'
             WHEN k_rx IS NOT NULL THEN 'regex'
-            ELSE 'failed' END AS parse_tier
+            ELSE 'failed' END AS parse_tier,
+       CASE WHEN ret_raw <> ''
+            THEN list_filter(str_split(ret_raw, '|'),
+                   (x, i) -> list_position(str_split(ret_raw, '|'), x) = i)
+       END AS retrieved
 FROM tiers
 """
 
@@ -2267,18 +2420,7 @@ def q41_ir_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = topk.withColumn(
         "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
     )
-    vecs = _quantized_vecs(spark, sf_dir)
-    nrel = (
-        vecs.filter(F.col("vec_id") % 10 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
-        .join(
-            vecs.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
-            F.col("cid") != F.col("query_id"),
-        )
-        .filter(F.col("ql") == F.col("cl"))
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_rel"))
-    )
+    nrel = _nrel_per_query(_quantized_vecs(spark, sf_dir))
     dec = "decimal(18,12)"
     ks = spark.createDataFrame([(k,) for k in IR_K_GRID], "k int")
     fan = rel.crossJoin(F.broadcast(ks)).filter(F.col("rnk") <= F.col("k"))

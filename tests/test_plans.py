@@ -19,11 +19,28 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_q20_exact_baseline_join_is_shuffle_cartesian(spark):
-    """Exact brute-force kNN must not broadcast the candidate corpus: the
-    scale-safe strategy is a shuffle-replicated cartesian."""
+def test_q20_small_corpus_exact_join_is_shuffle_cartesian(spark):
+    """Under ANN_EXACT_MAX_ROWS the exact brute-force path runs, and it must
+    not broadcast the candidate corpus: the scale-safe strategy is a
+    shuffle-replicated cartesian."""
     p = _plan(QUERIES["q20_ann_topk"](spark, SF))
     assert "CartesianProduct" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q20_large_corpus_routes_through_ivf(spark):
+    """Above the gate q20 takes the IVF centroid-bucket path: candidates via
+    equi-join on bucket — no cartesian over the corpus. (sf0.1's 2000
+    embeddings exceed ANN_EXACT_MAX_ROWS=1000.) The only crossJoin is the
+    per-vector centroid assignment against the broadcast centroid table."""
+    p = _plan(QUERIES["q20_ann_topk"](spark, "/root/testdata/sf0.1"))
+    assert "CartesianProduct" not in p, p
+
+
+def test_q21_nrel_has_no_nested_loop_join(spark):
+    """n_rel comes from the label histogram (broadcast hash join), never a
+    (queries x corpus) nested-loop theta-join."""
+    p = _plan(QUERIES["q21_knn_ir_metrics"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p, p
 
 

@@ -112,3 +112,70 @@ def test_submit_entrypoint(spark, tmp_path, xs_corpus):
     r2 = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert r2["clusters_rows"] == 60
     assert r2["stages_computed"] == []  # full resume, nothing recomputed
+
+
+def test_torn_stage_write_never_served(spark, xs_corpus, tmp_path):
+    """Crash injection (Iceberg-snapshot discipline over the parquet
+    fallback): a writer that died BETWEEN data publish and manifest write
+    (torn manifest .tmp), or mid-write (stale _tmp dir, partial data) must
+    leave the stage uncommitted; resume recomputes it and never reads the
+    torn bytes, and the final clusters match a clean run bit-for-bit."""
+    import json
+    import shutil
+
+    turns_pd, _gold = xs_corpus
+    turns = spark.createDataFrame(turns_pd, schema=TRANSCRIPT_SCHEMA)
+    store = StageStore(spark, tmp_path / "torn")
+    cfg = ERConfig()
+    run_resumable(spark, turns, store, cfg, input_id="xs")
+    clean = {
+        r.rid: r.component for r in store.read("clusters").collect()
+    }
+
+    # tear 'scored': kill its manifest (crash before the manifest rename),
+    # leave a half-written manifest .tmp, drop one data file and add a
+    # garbage part (torn parquet dir), plus a stale writer tmp dir
+    sdir = store.root / "scored"
+    mf = sdir / "MANIFEST.json"
+    (sdir / "MANIFEST.tmp").write_text('{"params_hash": "TRUNCAT')
+    phash_before = json.loads(mf.read_text())["params_hash"]
+    mf.unlink()
+    parts = sorted((sdir / "data").glob("*.parquet"))
+    if parts:
+        parts[0].unlink()
+    (sdir / "data" / "part-junk.parquet").write_bytes(b"\x00not-parquet")
+    stale_tmp = store.root / "_tmp_scored_99999"
+    stale_tmp.mkdir()
+    (stale_tmp / "part-00000.parquet").write_bytes(b"\x00half")
+
+    assert not store.is_committed("scored", phash_before)
+
+    out = run_resumable(spark, turns, store, cfg, input_id="xs")
+    # only the torn stage recomputes: downstream manifests chain params
+    # hashes (not content), and their committed inputs predate the tear
+    assert out["_computed"] == ["scored"]
+    # the re-commit atomically replaced the torn dir: junk gone, readable
+    datafiles = [p.name for p in (store.root / "scored" / "data").iterdir()]
+    assert "part-junk.parquet" not in datafiles
+    assert store.is_committed("scored", phash_before)
+    resumed = {r.rid: r.component for r in store.read("clusters").collect()}
+    assert resumed == clean
+    # stale writer tmp from the crashed attempt is inert (never read)
+    assert stale_tmp.exists()
+
+
+def test_partial_data_without_manifest_is_uncommitted(spark, tmp_path):
+    """A data dir alone (crash after the data rename, before ANY manifest)
+    is not a commit: is_committed is False for every hash and a fresh
+    commit over it succeeds."""
+    store = StageStore(spark, tmp_path / "torn2")
+    sdir = store.root / "stage_x"
+    (sdir / "data").mkdir(parents=True)
+    (sdir / "data" / "part-00000.parquet").write_bytes(b"\x00torn")
+    assert not store.is_committed("stage_x", "anyhash")
+
+    df = spark.range(5).toDF("v")
+    committed = store.commit("stage_x", df, "h1")
+    assert committed.count() == 5
+    assert store.is_committed("stage_x", "h1")
+    assert sorted(r.v for r in store.read("stage_x").collect()) == [0, 1, 2, 3, 4]

@@ -95,3 +95,39 @@ def test_candidate_pairs_min_common(spark):
         for r in candidate_pairs(membership, min_common=2).collect()
     }
     assert strict == {("a", "b")}
+
+
+def test_salting_balances_shuffle_partitions_making_aqe_skew_moot(spark):
+    """North-rule skew evidence, quantified: the engine handles hot blocking
+    keys with EXPLICIT per-(block,rid) salting BEFORE the pair self-join, so
+    the shuffle that feeds candidate generation is balanced at the exchange
+    itself — AQE's skew-join splitter (enabled session-wide,
+    session.py) stays a second line of defense that has nothing left to
+    split: after cap_block_size no join key fans out beyond
+    max_block_size, so no post-shuffle partition can exceed
+    ~C(max_block_size, 2) pairs regardless of raw block skew."""
+    # pathological skew: one hot key carries 2000 of 3000 rows
+    rows = [("hot", f"r{i:05d}") for i in range(2000)] + [
+        (f"cold{i % 200}", f"r{i:05d}") for i in range(1000)
+    ]
+    membership = spark.createDataFrame(rows, "block_key string, rid string")
+
+    def max_partition_rows(df, parts=8):
+        sizes = (
+            df.repartition(parts, "block_key")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return max(r.n for r in sizes)
+
+    unsalted_max = max_partition_rows(membership)
+    salted_max = max_partition_rows(cap_block_size(membership, 50))
+    # unsalted: the hot key pins >= 2000 rows in one shuffle partition;
+    # salted: the same rows spread over ceil(2000/50)=40 sub-keys
+    assert unsalted_max >= 2000
+    assert salted_max <= 1000, (unsalted_max, salted_max)
+
+    # the second line of defense really is armed in every session
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
