@@ -732,16 +732,17 @@ WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 # --------------------------------------------------------------------------
 
 
-def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One md5 per token, then a single WIDE aggregate: 32 +/-1 bit-sum columns
-    # accumulated map-side (partial agg), so the shuffle carries exactly one
-    # 32-column row per doc per mapper. The naive shape — crossJoin with a
-    # 32-row k table — re-hashes every token 32x and shuffles a 32x-exploded
-    # fact; this shape survives a 100x scale-up, that one doesn't.
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    toks = docs.select(
+def _simhash_wide(corpus: DataFrame, nbits: int = 32) -> DataFrame:
+    """(doc_id, simhash): nbits-wide SimHash per (doc_id, text) row
+    (nbits <= 62: the sketch stays clear of the BIGINT sign bit).
+
+    One md5 per token, then a single WIDE aggregate: 32 +/-1 bit-sum columns
+    accumulated map-side (partial agg), so the shuffle carries exactly one
+    32-column row per doc per mapper. The naive shape — crossJoin with a
+    32-row k table — re-hashes every token 32x and shuffles a 32x-exploded
+    fact; this shape survives a 100x scale-up, that one doesn't.
+    """
+    toks = corpus.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
     ).select("doc_id", F.md5("token").alias("hx"))
     aggs = [
@@ -751,16 +752,23 @@ def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" as int), {k % 4}) % 2) - 1"
             )
         ).alias(f"s{k}")
-        for k in range(32)
+        for k in range(nbits)
     ]
     wide = toks.groupBy("doc_id").agg(*aggs)
     simhash = None
-    for k in range(32):
+    for k in range(nbits):
         bitval = F.when(
             F.col(f"s{k}") > 0, F.shiftleft(F.lit(1).cast("bigint"), k)
         ).otherwise(F.lit(0).cast("bigint"))
         simhash = bitval if simhash is None else simhash + bitval
     return wide.select("doc_id", simhash.alias("simhash"))
+
+
+def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return _simhash_wide(docs.select("doc_id", "text"))
 
 
 Q15_SQL = f"""
@@ -2566,6 +2574,234 @@ FROM fin GROUP BY k
 """
 
 
+# --------------------------------------------------------------------------
+# Q42  SimHash hamming near-dup pairs: 4x8-bit band equi-join over the
+#      32-bit sketch, exact popcount filter. Banding here is EXACT — a pair
+#      within hamming distance 3 differs in at most 3 of the 4 bands, so by
+#      pigeonhole it agrees on at least one band key: zero recall loss,
+#      unlike q12's DF cap or q34's sign bands (both documented lossy).
+# --------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # must be > SIMHASH_HAMMING_MAX for exactness
+# 60-bit sketch (15 bits/band): on a template-generated corpus a 32-bit
+# sketch band-collides half the corpus into shared buckets (measured 30k
+# hamming<=3 pairs among 767 docs); 15-bit band values keep random
+# collisions at 2^-15 so candidate volume tracks TRUE near-duplicates.
+_SIMHASH_NBITS = 60
+
+
+def q42_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shh = _simhash_wide(
+        _perturbed_corpus(spark, sf_dir).select("doc_id", "text"),
+        _SIMHASH_NBITS,
+    )
+    bw = _SIMHASH_NBITS // _SIMHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", bw * b)
+            .bitwiseAND(F.lit((1 << bw) - 1))
+            .alias("bv"),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ]
+    bands = shh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"),
+        F.col("bb.bv").alias("bv"),
+    )
+    a = bands.alias("a")
+    b = bands.hint("shuffle_hash").alias("b")  # fact x fact: never broadcast
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+Q42_SQL = f"""
+WITH {_CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_LIST_SQL})) AS token FROM corpus),
+bits AS (
+  SELECT doc_id, k,
+         SUM(2 * ((strpos('0123456789abcdef',
+                          substr(md5(token), CAST(k // 4 AS INT) + 1, 1)) - 1)
+                  >> (k % 4) & 1) - 1) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_NBITS})) AS k) ks
+  GROUP BY doc_id, k),
+shh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> ({_SIMHASH_NBITS // _SIMHASH_BANDS} * b))
+           & {(1 << (_SIMHASH_NBITS // _SIMHASH_BANDS)) - 1} AS bv
+  FROM shh CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS b) bs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q43  per-document TF-IDF top terms (training-data text analysis): smooth
+#      idf = ln((N+1)/(df+1)) + 1 (the sklearn TfidfVectorizer smoothing),
+#      scores ranked as DECIMAL(18,12) so cross-engine ordering is exact
+#      (same discipline as the q21/q41 IR metrics), ties broken by term.
+# --------------------------------------------------------------------------
+
+
+def q43_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("ts"))
+    )
+    tf = (
+        docs.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf rows are distinct per (doc, term), so count(*) IS the doc frequency
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").groupBy().agg(
+        F.count("*").alias("nd")
+    )
+    dec = "decimal(18,12)"
+    sdec = (
+        F.col("tf")
+        * (F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1.0)
+    ).cast(dec)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sdec").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("sdec", sdec)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "doc_id", "term", "rnk",
+            F.round(F.col("sdec").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+Q43_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_LIST_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         CAST(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(18,12))
+           AS sdec
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd),
+ranked AS (
+  SELECT doc_id, term, sdec,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY sdec DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, rnk, round(CAST(sdec AS DOUBLE), 6) AS score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q44  near-duplicate dedup CLUSTERS: the step a training-data pipeline runs
+#      after q14 — LSH near-dup pairs -> connected components (contraction +
+#      hash-min, operators/clustering) -> per-doc canonical id (min doc_id
+#      of the component) + cluster size. Keeping one row per canon_id IS
+#      corpus dedup; every other row is a near-duplicate to drop.
+# --------------------------------------------------------------------------
+
+
+def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # materialize the (tiny) near-dup edge set ONCE: connected_components
+    # symmetrizes edges with a 2-branch union, and without this barrier each
+    # branch would re-run the whole LSH pipeline (measured 2x cost)
+    pairs = (
+        q14_lsh_dedup_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = _perturbed_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("rid")
+    )
+    comp = connected_components(pairs, nodes=nodes)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("rid").alias("doc_id"),
+            F.col("component").alias("canon_id"),
+            "cluster_size",
+        )
+    )
+
+
+Q44_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE.strip()},
+{_SHINGLE_CTE.strip()},
+sig AS (
+  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS minhash
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing) ex
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+  GROUP BY doc_id, h),
+bands AS (
+  SELECT doc_id, 'b' || CAST(h // 2 AS VARCHAR) || '|'
+         || string_agg(minhash, '|' ORDER BY h) AS bk
+  FROM sig GROUP BY doc_id, h // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+e AS (
+  SELECT id_a AS a, id_b AS b
+  FROM cand
+  JOIN shing sa ON sa.doc_id = id_a
+  JOIN shing sb ON sb.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+              6) >= 0.6),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(s, n) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON r.n = y.a),
+comp AS (SELECT s AS doc_id, MIN(n) AS canon_id FROM reach GROUP BY s)
+SELECT doc_id, canon_id,
+       COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+FROM comp
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -2612,6 +2848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_graph_kernel": q39_graph_kernel,
     "q40_sentence_split": q40_sentence_split,
     "q41_ir_multi_k": q41_ir_multi_k,
+    "q42_simhash_neardup": q42_simhash_neardup,
+    "q43_tfidf_topterms": q43_tfidf_topterms,
+    "q44_dedup_clusters": q44_dedup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2656,4 +2895,7 @@ ORACLE_SQL: dict[str, str] = {
     "q39_graph_kernel": Q39_SQL,
     "q40_sentence_split": Q40_SQL,
     "q41_ir_multi_k": Q41_SQL,
+    "q42_simhash_neardup": Q42_SQL,
+    "q43_tfidf_topterms": Q43_SQL,
+    "q44_dedup_clusters": Q44_SQL,
 }
