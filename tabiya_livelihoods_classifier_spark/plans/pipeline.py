@@ -139,9 +139,12 @@ def conversation_records(
         ).alias("role_sig"),
         F.countDistinct("turn_idx").alias("n_turns"),
     )
+    # no turn_idx in the exploded row: tok_counts only groups by
+    # (conv_id, token), and each turn contributes one row per distinct token
+    # either way — narrower rows through the corpus-wide explode+aggregate,
+    # the most bandwidth-bound path in the pipeline.
     turn_tokens = canon.select(
         "conv_id",
-        "turn_idx",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
     )
     # ONE wide aggregation over the exploded token stream: (conv, token) ->
@@ -160,8 +163,13 @@ def conversation_records(
     # total-turn count is a broadcast 1-row aggregate and the stop set is a
     # broadcast anti-join side — no driver collect()s, so the whole records
     # stage is one DAG with no scheduler barriers between sub-aggregations.
-    n_turns_total = canon.groupBy().agg(
-        F.count_distinct("conv_id", "turn_idx").alias("n_turns_total")
+    # The count sums per_conv's per-conversation distinct-turn counts — the
+    # SAME value as a corpus-wide count_distinct(conv_id, turn_idx), minus
+    # one full extra scan+distinct-shuffle of the turns table (measured at
+    # bench64: a 32M-row pass); per_conv's exchange is shared with the
+    # records join below, so Spark's exchange reuse pays for it once.
+    n_turns_total = per_conv.groupBy().agg(
+        F.sum("n_turns").alias("n_turns_total")
     )
     turn_stop_df = (
         tok_counts.groupBy("token")
@@ -333,7 +341,17 @@ def er_pipeline(
     sids); clusters is back at record granularity.
     """
     canon = canonical_turns(turns)
-    records = conversation_records(canon, cfg, embed=False)
+    # SLIM projection before persist: the ER stages only consume
+    # (rid, role_sig, tokens, name_key). Persisting the full record row
+    # would force materialization of record_text — the sorted-concat of
+    # every turn's text, an ObjectHashAggregate collecting ~the whole
+    # corpus — which NOTHING downstream of stage 2 reads; dropping it
+    # before the persist lets Catalyst prune the text-collection aggregate
+    # out of the plan entirely (a corpus-sized shuffle that existed only to
+    # be cached and ignored).
+    records = conversation_records(canon, cfg, embed=False).select(
+        "rid", "role_sig", "tokens", "name_key"
+    )
     # records feed the signature collapse AND the final rid->component map
     records = records.persist()
     sig = signature_records(records).persist()

@@ -1519,7 +1519,14 @@ def q26_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    edges = q14_lsh_dedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # one barrier materializing the (tiny) edge set: connected_components
+    # symmetrizes with a 2-branch union that would otherwise re-run the
+    # whole LSH pipeline once per branch (same fix as q44)
+    edges = (
+        q14_lsh_dedup_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     nodes = _perturbed_corpus(spark, sf_dir).select(F.col("doc_id").alias("rid"))
     return connected_components(edges, nodes=nodes).select(
         F.col("rid").alias("doc_id"), F.col("component").alias("cluster_id")
