@@ -51,6 +51,16 @@ def run_battery() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # fresh stage store per battery: shared stages (the q14/q44 LSH pair
+    # snapshot) are computed exactly once WITHIN this run, and timings
+    # never credit a previous run's materialization.
+    import shutil
+
+    stage_root = os.environ.get(
+        "SPARK_GRAFT_STAGE_DIR", "/tmp/spark_graft_stages"
+    )
+    shutil.rmtree(stage_root, ignore_errors=True)
+
     import __spark_entry__ as entry
     from tabiya_livelihoods_classifier_spark.session import get_spark
 

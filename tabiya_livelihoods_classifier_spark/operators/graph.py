@@ -2,8 +2,11 @@
 
 Semantic ancestor: the reference's memoized DAG-chain DFS with cycle cut
 (3_2b_clean_LLM_create_opp-db.py:473-532). The Spark form is an iterative
-self-join to fixpoint: paths ∪ (paths ⨝ edges), deduped each round, with
-localCheckpoint truncating lineage. Cycles terminate naturally because the
+self-join to fixpoint: paths ∪ (paths ⨝ edges), deduped each round, each
+round's closure RELIABLY checkpointed (lineage truncation is structurally
+required — the closure feeds both union branches, so the plan would double
+per round; reliable checkpoint survives executor loss, unlike
+localCheckpoint — cf. operators/clustering). Cycles terminate because the
 reachable-pair set is finite (the dedupe plays the reference's visited-set
 role). Iterations = longest simple path, shuffles bounded accordingly.
 """
@@ -64,7 +67,7 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     closure = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
     ).dropDuplicates()
-    closure = closure.localCheckpoint(eager=True)
+    closure = closure.checkpoint(eager=True)
     n = closure.count()
     for _ in range(max_iter):
         step = (
@@ -74,7 +77,11 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             )
             .select(F.col("c.node").alias("node"), F.col("e.parent").alias("ancestor"))
         )
-        new_closure = closure.union(step).dropDuplicates().localCheckpoint(
+        # reliable checkpoint (session.py sets the dir): `closure` appears
+        # twice in the new plan (union branch + join branch), so without
+        # lineage truncation the plan doubles per iteration; the reliable
+        # variant survives executor loss, unlike localCheckpoint.
+        new_closure = closure.union(step).dropDuplicates().checkpoint(
             eager=True
         )
         new_n = new_closure.count()

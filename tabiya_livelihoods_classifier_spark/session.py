@@ -87,4 +87,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable checkpoint dir for the iterative operators (connected
+    # components / transitive closure): their per-iteration lineage
+    # truncation must be a RELIABLE checkpoint — localCheckpoint stores
+    # blocks on executors only, so one lost executor after truncation kills
+    # the job unrecoverably on a real cluster. Point
+    # SPARK_GRAFT_CHECKPOINT_DIR at durable shared storage (HDFS/S3) when
+    # submitting; the local-mode default below is equivalent there.
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or os.path.join(
+            tempfile.gettempdir(), f"spark-graft-ckpt-{os.getpid()}"
+        )
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
