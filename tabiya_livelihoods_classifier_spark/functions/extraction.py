@@ -6,8 +6,13 @@ reimplemented here verbatim-in-semantics (NOT copied) and unit-tested
 against hand-derived fixtures; the model forward pass (M1/M2) is replaced
 by `rule_tagger`, a deterministic greedy dictionary tagger with the SAME
 output contract (BIO tags over tokens), so the whole chain runs in this
-sandbox with no downloads and is exactly reproducible. On a real cluster
-the rule tagger swaps for the transformer inside the same mapInPandas UDF.
+sandbox with no downloads and is exactly reproducible. The CRF decode
+itself (M2) IS implemented — `crf_viterbi_decode` is the reference's
+`_viterbi_decode` (transformersCRF.py:226-306) as a numpy max-product DP,
+with `bio_transition_matrix` hard constraints and `crf_tagger_factory`
+wiring it into the same mapInPandas seam; only the EMISSION scores (the
+transformer forward pass) remain the pluggable model seam on a real
+cluster.
 
 Reference contracts (file:line into /root/reference):
   M3 fix_bio_tags                 inference/linker.py:462-476
@@ -220,3 +225,117 @@ def extract_entities_df(
             )
 
     return docs.mapInPandas(run, schema=ENTITY_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# M2: linear-chain CRF Viterbi decode
+# --------------------------------------------------------------------------
+
+
+def crf_viterbi_decode(
+    emissions,
+    transitions,
+    start_transitions=None,
+    end_transitions=None,
+) -> list[int]:
+    """M2: max-product Viterbi over a linear-chain CRF — the real decode
+    the reference runs after its BERT encoder (util/transformersCRF.py:
+    226-306 `_viterbi_decode`), in numpy instead of torch so it needs no
+    model wheels and slots into the mapInPandas tagger seam.
+
+    score(y) = start[y_0] + sum_t emissions[t, y_t]
+             + sum_t transitions[y_{t-1}, y_t] + end[y_T]
+
+    Args are array-likes: emissions (T, K); transitions (K, K) with
+    [from, to] orientation; start/end (K,) default to zeros. Returns the
+    argmax tag-index sequence (length T; [] for T == 0). Ties break toward
+    the LOWER tag index (np.argmax first-occurrence — same convention as
+    the reference's torch.max). -inf transition entries express hard
+    structural constraints (e.g. BIO: O can never precede I-x); a fully
+    -inf column simply never wins.
+    """
+    import numpy as np
+
+    em = np.asarray(emissions, dtype=np.float64)
+    if em.size == 0:
+        return []
+    T, K = em.shape
+    tr = np.asarray(transitions, dtype=np.float64)
+    start = (
+        np.zeros(K) if start_transitions is None
+        else np.asarray(start_transitions, dtype=np.float64)
+    )
+    end = (
+        np.zeros(K) if end_transitions is None
+        else np.asarray(end_transitions, dtype=np.float64)
+    )
+    score = start + em[0]                       # (K,)
+    history = np.empty((T - 1, K), dtype=np.int64) if T > 1 else None
+    for t in range(1, T):
+        # cand[i, j] = best score ending in i, then i -> j emitting t
+        cand = score[:, None] + tr + em[t][None, :]
+        history[t - 1] = np.argmax(cand, axis=0)
+        score = np.max(cand, axis=0)
+    last = int(np.argmax(score + end))
+    path = [last]
+    for t in range(T - 2, -1, -1):
+        path.append(int(history[t][path[-1]]))
+    return path[::-1]
+
+
+def bio_transition_matrix(labels: list[str]):
+    """(transitions, start) hard-constraint matrices for a BIO tag space:
+    I-x may only follow B-x or I-x (and never starts a sequence); all
+    legal moves score 0, illegal ones -inf. `labels` is the full tag
+    vocabulary, e.g. ["O", "B-Skill", "I-Skill", ...]."""
+    import numpy as np
+
+    K = len(labels)
+    tr = np.zeros((K, K))
+    start = np.zeros(K)
+    for j, to in enumerate(labels):
+        if not to.startswith("I-"):
+            continue
+        etype = to[2:]
+        start[j] = -np.inf
+        for i, frm in enumerate(labels):
+            if frm not in (f"B-{etype}", f"I-{etype}"):
+                tr[i, j] = -np.inf
+    return tr, start
+
+
+def crf_tagger_factory(
+    labels: list[str],
+    emission_fn,
+    transitions=None,
+    start_transitions=None,
+    end_transitions=None,
+):
+    """Real-CRF tagger seam for `extract_entities_df(tagger_factory=...)`:
+    returns a zero-arg factory whose product maps tokens -> BIO tags via
+    `crf_viterbi_decode`. `emission_fn(tokens) -> (T, K) array-like` is
+    where a production user plugs the transformer forward pass
+    (transformersCRF.py runs exactly this shape into `_viterbi_decode`);
+    transitions default to the hard BIO-structural matrix, so the decoder
+    REPAIRS sequences a greedy per-token argmax would emit invalid.
+    """
+
+    def factory():
+        tr, start = (
+            (transitions, start_transitions)
+            if transitions is not None
+            else bio_transition_matrix(labels)
+        )
+        if start_transitions is not None:
+            start = start_transitions
+
+        def tag(tokens: list[str]) -> list[str]:
+            if not tokens:
+                return []
+            em = emission_fn(tokens)
+            idx = crf_viterbi_decode(em, tr, start, end_transitions)
+            return [labels[i] for i in idx]
+
+        return tag
+
+    return factory

@@ -138,3 +138,123 @@ def test_extract_per_sentence_bounds_spans(spark):
     ]
     assert whole == [(0, "head chef chef")]
     assert split == [(0, "head chef"), (1, "chef")]
+
+
+# ---- M2: CRF Viterbi decode ----------------------------------------------
+
+
+def _brute_force_best(em, tr, start, end):
+    import itertools
+
+    import numpy as np
+
+    T, K = np.asarray(em).shape
+    best, best_score = None, -np.inf
+    for seq in itertools.product(range(K), repeat=T):
+        s = start[seq[0]] + em[0][seq[0]] + end[seq[-1]]
+        for t in range(1, T):
+            s += tr[seq[t - 1]][seq[t]] + em[t][seq[t]]
+        # strict > keeps the FIRST maximal sequence in lexicographic
+        # product order == Viterbi's lower-index tie-break
+        if s > best_score:
+            best, best_score = list(seq), s
+    return best, best_score
+
+
+def test_crf_viterbi_matches_brute_force():
+    import numpy as np
+
+    from tabiya_livelihoods_classifier_spark.functions.extraction import (
+        crf_viterbi_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        T, K = int(rng.integers(1, 6)), int(rng.integers(2, 5))
+        em = rng.normal(size=(T, K)).round(3)
+        tr = rng.normal(size=(K, K)).round(3)
+        start = rng.normal(size=K).round(3)
+        end = rng.normal(size=K).round(3)
+        got = crf_viterbi_decode(em, tr, start, end)
+        want, _ = _brute_force_best(em, tr, start, end)
+        assert got == want, (trial, got, want)
+
+
+def test_crf_viterbi_empty_and_single():
+    import numpy as np
+
+    from tabiya_livelihoods_classifier_spark.functions.extraction import (
+        crf_viterbi_decode,
+    )
+
+    assert crf_viterbi_decode(np.zeros((0, 3)), np.zeros((3, 3))) == []
+    assert crf_viterbi_decode([[0.0, 2.0, 1.0]], np.zeros((3, 3))) == [1]
+
+
+def test_crf_bio_constraints_repair_greedy_output():
+    """Emissions that greedily argmax to an ILLEGAL sequence (I- with no
+    opener) decode to a legal one under the BIO transition matrix — the
+    behavior that makes M2 a real decode rather than a per-token argmax."""
+    import numpy as np
+
+    from tabiya_livelihoods_classifier_spark.functions.extraction import (
+        bio_transition_matrix,
+        crf_viterbi_decode,
+    )
+
+    labels = ["O", "B-Skill", "I-Skill"]
+    tr, start = bio_transition_matrix(labels)
+    # greedy picks I-Skill at t=0 (illegal) and I-Skill at t=1
+    em = np.array([[0.0, 0.4, 0.5], [0.0, 0.1, 0.9]])
+    greedy = [int(np.argmax(e)) for e in em]
+    assert [labels[i] for i in greedy] == ["I-Skill", "I-Skill"]
+    path = [labels[i] for i in crf_viterbi_decode(em, tr, start)]
+    # best LEGAL sequence: open with B-Skill, continue I-Skill
+    assert path == ["B-Skill", "I-Skill"]
+
+
+def test_crf_tagger_seam_in_mapinpandas(spark):
+    """M2 end-to-end through the SAME extract_entities_df seam as the rule
+    tagger: a deterministic emission function (lexicon-derived scores)
+    + BIO-constrained Viterbi produces the entity rows."""
+    import sys
+
+    import numpy as np
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    from tabiya_livelihoods_classifier_spark.functions.extraction import (
+        crf_tagger_factory,
+        extract_entities_df,
+    )
+
+    labels = ["O", "B-Skill", "I-Skill"]
+    lex = {"python": "Skill", "spark": "Skill"}
+
+    def emissions(tokens):
+        em = np.zeros((len(tokens), 3))
+        prev_hit = False
+        for t, tok in enumerate(tokens):
+            if tok in lex:
+                em[t, 2 if prev_hit else 1] = 5.0
+                prev_hit = True
+            else:
+                em[t, 0] = 5.0
+                prev_hit = False
+        return em
+
+    docs = spark.createDataFrame(
+        [(1, "knows python spark well"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    rows = (
+        extract_entities_df(
+            docs, {}, tagger_factory=crf_tagger_factory(labels, emissions)
+        )
+        .orderBy("doc_id", "ent_idx")
+        .collect()
+    )
+    assert [(r.doc_id, r.ent_type, r.ent_text) for r in rows] == [
+        (1, "Skill", "python spark")
+    ]
