@@ -533,6 +533,24 @@ def _write_bench_baseline(
             f"| {p} | {v} | {round(v / bw2, 2)}x |"
             for p, v in sorted(bw.items())
         )
+        # bandwidth-scaling ratio COMPUTED from this probe run (never a
+        # baked-in constant: shared-host copy bandwidth moves with
+        # co-tenant load, and a stale number can contradict the table
+        # printed right above it)
+        bw_hi_procs = max(bw) if bw else 2
+        bw_hi = bw.get(bw_hi_procs) or bw2
+        bw_frac = round((bw_hi / bw2) / (bw_hi_procs / 2), 2)
+        bw_note = (
+            " (this probe run; co-tenant load can move this between runs"
+            + (
+                " — a ratio this far below the burst-spin scaling in the"
+                " table above means the probe ran against a busy"
+                " neighbor, so treat it as a lower bound"
+                if bw_frac < 0.6
+                else ""
+            )
+            + ")"
+        )
         cap_rows = "\n".join(
             f"| {p} | {v:,} | {round(v / p, 1)} |"
             for p, v in sorted(burst.items())
@@ -564,13 +582,14 @@ local[16]/local[32] went flat while burst probes stayed near-linear), so
 legs above 8 cores can measure the neighbors, not the engine. (2) The
 copy-bandwidth table above is the relevant ceiling for THIS workload:
 the ER job's dominant stage is corpus-wide tokenize/explode/aggregate —
-memory-bandwidth-bound, not register-bound — and the delivered copy
-bandwidth from 2 -> 8 procs scales at ~0.85-0.87x of ideal. A
-bandwidth-bound job on a single box therefore tops out near ~0.87
-efficiency at 2 -> 8 cores BEFORE any engine overhead; on a real
+partially memory-bandwidth-bound — and the delivered copy bandwidth from
+2 -> {bw_hi_procs} procs measured {bw_frac}x of ideal{bw_note}. A purely
+bandwidth-bound stage shares that ceiling; compute-dominated stages track
+the near-linear spin scaling instead, so the whole job's efficiency lands
+between the two — on a single box, BEFORE any engine overhead. On a real
 multi-executor cluster each node brings its own memory controllers, so
-this ceiling does not transfer to the spark-submit deployment the north
-rule describes. Evidence that the residual gap is hardware, not engine
+neither single-box ceiling transfers to the spark-submit deployment the
+north rule describes. Evidence that the residual gap is hardware, not engine
 serialization: measured efficiency is invariant to corpus size (bench32
 vs bench64 within noise), which rules out a fixed Amdahl serial fraction
 (that would shrink with Gustafson scaling), and the per-stage

@@ -22,8 +22,12 @@ def _plan(df) -> str:
 def test_q20_small_corpus_exact_join_is_shuffle_cartesian(spark):
     """Under ANN_EXACT_MAX_ROWS the exact brute-force path runs, and it must
     not broadcast the candidate corpus: the scale-safe strategy is a
-    shuffle-replicated cartesian."""
-    p = _plan(QUERIES["q20_ann_topk"](spark, SF))
+    shuffle-replicated cartesian. Asserted on the stage PRODUCER plan
+    (_knn_topk): the q20 entry itself returns the committed kNN stage
+    (a parquet scan) once _knn_topk_staged has materialized it."""
+    from tabiya_livelihoods_classifier_spark.plans.queries import _knn_topk
+
+    p = _plan(_knn_topk(spark, SF, 5))
     assert "CartesianProduct" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
