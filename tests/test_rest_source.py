@@ -1,0 +1,169 @@
+"""S5 REST source: windowed distributed fetch + whole-row master merge.
+
+Runs a real local HTTP server (stdlib http.server) so the executor-side
+urllib path is exercised end-to-end — no network leaves the machine.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from tabiya_livelihoods_classifier_spark.sources.rest import (
+    date_windows,
+    merge_whole_row,
+    read_rest_json,
+)
+
+API_KEY = "test-key-123"
+
+# one record per (day, slot); day 2024-01-03 is "hot" (3 records) so a
+# max_records=3 fetch of any window containing it trips the truncation flag
+_RECORDS = {
+    "2024-01-01": 1,
+    "2024-01-02": 1,
+    "2024-01-03": 3,
+    "2024-01-05": 2,
+}
+
+
+def _records_between(lo: str, hi: str) -> list[dict]:
+    out = []
+    for day, n in sorted(_RECORDS.items()):
+        if lo <= day <= hi:
+            out.extend(
+                {"posted": day, "ref": f"{day}#{i}", "title": f"job {day}/{i}"}
+                for i in range(n)
+            )
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.headers.get("X-API-KEY") != API_KEY:
+            self.send_response(403)
+            self.end_headers()
+            return
+        qs = parse_qs(urlparse(self.path).query)
+        body = json.dumps(
+            _records_between(qs["date_from"][0], qs["date_to"][0])
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield (
+        f"http://127.0.0.1:{srv.server_port}/jobs"
+        "?date_from={date_from}&date_to={date_to}"
+    )
+    srv.shutdown()
+
+
+def test_date_windows_cover_range_inclusively():
+    wins = date_windows("2024-01-01", "2024-01-07", step_days=3)
+    assert wins == [
+        {"date_from": "2024-01-01", "date_to": "2024-01-03"},
+        {"date_from": "2024-01-04", "date_to": "2024-01-06"},
+        {"date_from": "2024-01-07", "date_to": "2024-01-07"},
+    ]
+    # every calendar day appears in exactly one window
+    seen = []
+    for w in wins:
+        lo, hi = date.fromisoformat(w["date_from"]), date.fromisoformat(w["date_to"])
+        d = lo
+        while d <= hi:
+            seen.append(d)
+            d = date.fromordinal(d.toordinal() + 1)
+    assert len(seen) == len(set(seen)) == 7
+    with pytest.raises(ValueError):
+        date_windows("2024-01-02", "2024-01-01")
+    with pytest.raises(ValueError):
+        date_windows("2024-01-01", "2024-01-02", step_days=0)
+
+
+def test_windowed_fetch_parses_records_with_provenance(spark, api_url):
+    df = read_rest_json(
+        spark,
+        api_url,
+        date_windows("2024-01-01", "2024-01-06", step_days=2),
+        headers={"X-API-KEY": API_KEY},
+        schema="posted string, ref string, title string",
+    )
+    rows = df.collect()
+    # all 7 records across the range, none duplicated across windows
+    assert sorted(r["ref"] for r in rows) == sorted(
+        r["ref"] for r in _records_between("2024-01-01", "2024-01-06")
+    )
+    # provenance: each record's window brackets its posted date
+    for r in rows:
+        assert r["date_from"] <= r["posted"] <= r["date_to"]
+    # raw audit string replays to the typed row
+    r0 = next(r for r in rows if r["ref"] == "2024-01-01#0")
+    assert json.loads(r0["raw"])["title"] == r0["title"]
+    assert not any(r["truncated"] for r in rows)
+
+
+def test_record_cap_flags_truncated_window(spark, api_url):
+    # the 2024-01-03 window returns exactly 3 == max_records -> flagged;
+    # other windows stay clean
+    df = read_rest_json(
+        spark,
+        api_url,
+        date_windows("2024-01-01", "2024-01-06", step_days=1),
+        headers={"X-API-KEY": API_KEY},
+        max_records=3,
+    )
+    by_win = {
+        r["date_from"]: r["truncated"] for r in df.collect()
+    }
+    assert by_win["2024-01-03"] is True
+    assert by_win["2024-01-01"] is False
+    # re-fetch policy: nothing hides the flag — raw rows still delivered
+    assert df.count() == 7
+
+
+def test_missing_api_key_fails_loudly(spark, api_url):
+    df = read_rest_json(
+        spark,
+        api_url,
+        date_windows("2024-01-01", "2024-01-01"),
+        headers={},  # no key -> server 403 -> task error, not silent empty
+    )
+    with pytest.raises(Exception, match="403"):
+        df.collect()
+
+
+def test_merge_whole_row_is_set_union(spark):
+    existing = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "ref string, v int"
+    )
+    incoming = spark.createDataFrame(
+        [("b", 2), ("c", 3), ("c", 3)], "ref string, v int"
+    )
+    merged = merge_whole_row(incoming, existing)
+    assert sorted((r["ref"], r["v"]) for r in merged.collect()) == [
+        ("a", 1), ("b", 2), ("c", 3)
+    ]
+    # evolved feed: new column arrives -> old rows null-filled, no error
+    wider = spark.createDataFrame(
+        [("d", 4, "new")], "ref string, v int, extra string"
+    )
+    merged2 = merge_whole_row(wider, existing)
+    assert merged2.count() == 3
+    assert dict(merged2.dtypes)["extra"] == "string"
+    # first-load path
+    assert merge_whole_row(incoming, None).count() == 2
