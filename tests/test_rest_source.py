@@ -147,6 +147,32 @@ def test_missing_api_key_fails_loudly(spark, api_url):
         df.collect()
 
 
+def test_injected_fetcher_and_wrapped_object_payload(spark):
+    # injected fake: API that wraps its records ({"items": [...]}). A
+    # lambda cloudpickles BY VALUE into executor tasks; a test-module
+    # function would pickle by reference and fail to import worker-side.
+    records = {k: _records_between(k, k) for k in _RECORDS}
+    df = read_rest_json(
+        spark,
+        "fake://api?{date_from}..{date_to}",
+        date_windows("2024-01-01", "2024-01-06", step_days=3),
+        fetcher=lambda url, headers, _r=records: json.dumps(
+            {
+                "items": [
+                    rec
+                    for day, recs in sorted(_r.items())
+                    if url.split("?")[1].split("..")[0]
+                    <= day
+                    <= url.split("?")[1].split("..")[1]
+                    for rec in recs
+                ]
+            }
+        ).encode(),
+        schema="posted string, ref string, title string",
+    )
+    assert df.count() == 7  # {"items": [...]} unwraps like a bare array
+
+
 def test_merge_whole_row_is_set_union(spark):
     existing = spark.createDataFrame(
         [("a", 1), ("b", 2)], "ref string, v int"
