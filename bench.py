@@ -233,7 +233,13 @@ def run_er_once(master: str, turns_parquet: str) -> int:
             "spark.local.dir": tempfile.mkdtemp(dir="/dev/shm", prefix="sl-"),
         },
     )
-    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
+    # checkpoint barriers (records intermediates + CC) on tmpfs for the
+    # same reason as spark.local.dir: a real cluster checkpoints to
+    # HDFS-on-NVMe; the sandbox's /tmp block device would put VM disk
+    # latency into the N-vs-4N comparison.
+    spark.sparkContext.setCheckpointDir(
+        tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
+    )
     turns = spark.read.parquet(turns_parquet)
     n_turns = turns.count()  # warms input outside the timed window
     n_convs = turns.select("conv_id").distinct().count()
@@ -299,7 +305,9 @@ def run_er_profile(master: str, turns_parquet: str) -> int:
         shuffle_partitions=2 * max(cores, 8),
         extra_conf=BENCH_CONF,
     )
-    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="er-ckpt-"))
+    spark.sparkContext.setCheckpointDir(
+        tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
+    )
     turns = spark.read.parquet(turns_parquet)
     n_turns = turns.count()
 
@@ -318,7 +326,12 @@ def run_er_profile(master: str, turns_parquet: str) -> int:
     t = time.perf_counter()
     records = mark(
         "records",
-        P.conversation_records(P.canonical_turns(turns), embed=False),
+        P.conversation_records(
+            P.canonical_turns(turns),
+            embed=False,
+            with_text=False,
+            materialize=P._materialize_stage,
+        ),
         t,
     )
     t = time.perf_counter()

@@ -77,8 +77,16 @@ TOKEN_SPLIT_RE = r"[^a-z0-9]+"
 
 
 def tokens(col: Column | str, *, lowercase: bool = True) -> Column:
-    """array<string> of alnum tokens (lowercased), empty strings removed."""
-    c = norm_label(col) if lowercase else canonicalize_text(col)
+    """array<string> of alnum tokens (lowercased), empty strings removed.
+
+    Deliberately does NOT run `canonicalize_text` first: every character
+    canonicalization touches (newline/CR/tab/space runs) is in the
+    [^a-z0-9]+ split class anyway, so the token output is identical with
+    or without it — and skipping it removes two corpus-wide regex passes
+    from the hottest branch of the ER records stage (the token explode)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    if lowercase:
+        c = F.lower(c)
     return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != "")
 
 

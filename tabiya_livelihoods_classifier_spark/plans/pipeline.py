@@ -104,9 +104,26 @@ MAJORITY_TURN_FRACTION = 0.5
 
 
 def conversation_records(
-    canon: DataFrame, cfg: ERConfig = ERConfig(), embed: bool = True
+    canon: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    embed: bool = True,
+    with_text: bool = True,
+    materialize=None,
 ) -> DataFrame:
     """Stage 2: one feature row per conversation.
+
+    `with_text=False` drops the record_text sorted-concat from the
+    per-conversation aggregate entirely (the ER path never reads it).
+    `materialize` is an optional DataFrame -> DataFrame hook applied to the
+    three multi-consumer intermediates (per_conv, tok_counts, recs). They
+    are each consumed by 2-3 downstream branches whose column pruning makes
+    the exchange subtrees non-identical, so Spark's exchange reuse does NOT
+    deduplicate them — without materialization the corpus-wide token
+    explode+aggregate executes twice and the per-conversation aggregate
+    three times in one action (measured at bench16/local[8]: 92 s -> ~50 s
+    with a persist hook). Callers combining `materialize` with
+    `with_text=True` would materialize the corpus-sized text concat — pass
+    the hook only with `with_text=False`.
 
     Signature tokens are selected by THREE frequency filters (all pure
     aggregations, no Python):
@@ -125,20 +142,26 @@ def conversation_records(
     Output: rid (=conv_id), record_text, role_sig, tokens (sorted, distinct),
     name_key (sorted tokens joined), embedding.
     """
-    per_conv = canon.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("record_text"),
+    mat = materialize if materialize is not None else (lambda df: df)
+    aggs = [
         F.array_join(
             F.array_sort(F.collect_set(F.when(F.col("tool") != "", F.col("tool")))),
             ",",
         ).alias("role_sig"),
         F.countDistinct("turn_idx").alias("n_turns"),
-    )
+    ]
+    if with_text:
+        aggs.insert(
+            0,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("record_text"),
+        )
+    per_conv = mat(canon.groupBy("conv_id").agg(*aggs))
     # no turn_idx in the exploded row: tok_counts only groups by
     # (conv_id, token), and each turn contributes one row per distinct token
     # either way — narrower rows through the corpus-wide explode+aggregate,
@@ -156,8 +179,10 @@ def conversation_records(
     # counting equals dropping it before — the count is per (conv, token)).
     # Measured at bench16: removes a second full pass + an 84M-row
     # anti-join from the records stage.
-    tok_counts = turn_tokens.groupBy("conv_id", "token").agg(
-        F.count("*").alias("n_tok_turns")
+    tok_counts = mat(
+        turn_tokens.groupBy("conv_id", "token").agg(
+            F.count("*").alias("n_tok_turns")
+        )
     )
     # corpus boilerplate by turn document-frequency, FULLY DECLARATIVE: the
     # total-turn count is a broadcast 1-row aggregate and the stop set is a
@@ -166,8 +191,9 @@ def conversation_records(
     # The count sums per_conv's per-conversation distinct-turn counts — the
     # SAME value as a corpus-wide count_distinct(conv_id, turn_idx), minus
     # one full extra scan+distinct-shuffle of the turns table (measured at
-    # bench64: a 32M-row pass); per_conv's exchange is shared with the
-    # records join below, so Spark's exchange reuse pays for it once.
+    # bench64: a 32M-row pass). per_conv is consumed here, by the majority
+    # join, and by the records join — exchange reuse does NOT cover the
+    # three differently-pruned subtrees, hence the mat() hook above.
     n_turns_total = per_conv.groupBy().agg(
         F.sum("n_turns").alias("n_turns_total")
     )
@@ -185,13 +211,15 @@ def conversation_records(
         .groupBy("conv_id")
         .agg(F.array_sort(F.collect_set("token")).alias("tokens_all"))
     )
-    recs = per_conv.join(majority, "conv_id", "left").select(
-        F.col("conv_id").alias("rid"),
-        "record_text",
-        "role_sig",
-        F.coalesce(F.col("tokens_all"), F.array().cast("array<string>")).alias(
-            "tokens_all"
-        ),
+    recs = mat(
+        per_conv.join(majority, "conv_id", "left").select(
+            F.col("conv_id").alias("rid"),
+            *(["record_text"] if with_text else []),
+            "role_sig",
+            F.coalesce(
+                F.col("tokens_all"), F.array().cast("array<string>")
+            ).alias("tokens_all"),
+        )
     )
     # cross-conversation stop tokens: same broadcast-aggregate pattern
     n_docs = recs.groupBy().agg(F.count("*").alias("n_docs"))
@@ -223,13 +251,14 @@ def conversation_records(
         .drop("stop_arr")
         .withColumn("name_key", F.array_join(F.col("tokens"), " "))
     )
+    text_cols = ["record_text"] if with_text else []
     if not embed:
         # the ER pipeline embeds per SIGNATURE (embedding is a pure function
         # of name_key), so per-record embedding would be wasted Arrow work
-        return recs.select("rid", "record_text", "role_sig", "tokens", "name_key")
+        return recs.select("rid", *text_cols, "role_sig", "tokens", "name_key")
     recs = recs.withColumn("embedding", embed_udf(F.col("name_key")))
     return recs.select(
-        "rid", "record_text", "role_sig", "tokens", "name_key", "embedding"
+        "rid", *text_cols, "role_sig", "tokens", "name_key", "embedding"
     )
 
 
@@ -325,6 +354,19 @@ def signature_block_membership(
     return cap_block_size(membership.select("block_key", "rid"), cfg.max_block_size)
 
 
+def _materialize_stage(df: DataFrame) -> DataFrame:
+    """Compute-once + lineage-truncating barrier for a multi-consumer
+    intermediate: persist so the reliable checkpoint's write job reads the
+    cache instead of recomputing the plan, checkpoint to truncate the
+    logical plan (downstream planning and cache lookups then walk a
+    LogicalRDD leaf, not the full upstream tree), then drop the cache —
+    consumers read the checkpoint files."""
+    df = df.persist()
+    out = df.checkpoint(eager=True)
+    df.unpersist()
+    return out
+
+
 def er_pipeline(
     spark: SparkSession,
     turns: DataFrame,
@@ -349,8 +391,19 @@ def er_pipeline(
     # before the persist lets Catalyst prune the text-collection aggregate
     # out of the plan entirely (a corpus-sized shuffle that existed only to
     # be cached and ignored).
-    records = conversation_records(canon, cfg, embed=False).select(
-        "rid", "role_sig", "tokens", "name_key"
+    records = conversation_records(
+        canon,
+        cfg,
+        embed=False,
+        # the ER stages never read record_text: with_text=False removes the
+        # corpus-sized sorted-concat from the per-conversation aggregate
+        with_text=False,
+        # persist the three multi-consumer intermediates (per_conv,
+        # tok_counts, recs): their consumers' differently-pruned subtrees
+        # defeat exchange reuse, so without this the corpus-wide token
+        # explode+aggregate runs twice and the per-conv aggregate three
+        # times (measured at bench16/local[8]: records stage 92 s -> ~50 s)
+        materialize=_materialize_stage,
     )
     # records feed the signature collapse AND the final rid->component map
     records = records.persist()
