@@ -17,11 +17,16 @@
       -> [7] hierarchy rollup     (ancestor closure with exp(-λ·d) kernel)
 
 Scale notes (the plan you'd want at 100 TB):
-  * Stage 2's only shuffle is the groupBy(conv_id); everything downstream
-    reuses that record table. Token document-frequency stop-filtering is an
-    aggregate whose result is bounded (tokens with df>30% number at most
-    ~3/0.3 per record on average), collected once and folded back in as an
-    array literal — the classic "broadcast tiny aggregate" pattern.
+  * Stage 2 makes exactly TWO passes over the turn corpus — the per-conv
+    metadata aggregate and the token explode+aggregate — each materialized
+    once behind a reliable-checkpoint barrier (see conversation_records'
+    `materialize` hook: their multiple consumers' differently-pruned
+    subtrees defeat exchange reuse, so without the barrier the corpus-wide
+    passes re-execute per consumer). Token document-frequency
+    stop-filtering is an aggregate whose result is bounded (tokens with
+    df>30% number at most ~3/0.3 per record on average), folded back in as
+    a broadcast 1-row array — the classic "broadcast tiny aggregate"
+    pattern.
   * Stage 2b is THE scale lever on duplicate-heavy corpora: ER cost is
     quadratic in cluster size, so collapsing c exact copies shrinks pair
     generation + scoring + CC input by ~c². Cluster-level output is exactly
