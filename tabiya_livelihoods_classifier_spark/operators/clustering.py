@@ -123,6 +123,12 @@ def connected_components(
     total order). `nodes` optionally supplies isolated vertices (column
     rid); they come out as singleton components.
     """
+    # Caller contract: this operator reliably checkpoints, and it may run
+    # on an arbitrary session (the driver harness builds its own); make the
+    # checkpoint dir self-sufficient instead of assuming get_spark() ran.
+    from tabiya_livelihoods_classifier_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(edges.sparkSession)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

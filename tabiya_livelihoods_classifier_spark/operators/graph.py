@@ -64,6 +64,11 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
     `edges` columns: child, parent.
     """
+    # self-sufficient reliable-checkpoint dir on whatever session the
+    # caller passed (cf. operators/clustering.connected_components)
+    from tabiya_livelihoods_classifier_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(edges.sparkSession)
     closure = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
     ).dropDuplicates()

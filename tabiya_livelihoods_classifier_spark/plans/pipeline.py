@@ -366,6 +366,9 @@ def _materialize_stage(df: DataFrame) -> DataFrame:
     logical plan (downstream planning and cache lookups then walk a
     LogicalRDD leaf, not the full upstream tree), then drop the cache —
     consumers read the checkpoint files."""
+    from tabiya_livelihoods_classifier_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(df.sparkSession)
     df = df.persist()
     out = df.checkpoint(eager=True)
     df.unpersist()

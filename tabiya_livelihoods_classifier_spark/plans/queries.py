@@ -33,6 +33,7 @@ from tabiya_livelihoods_classifier_spark.functions.text import (
 from tabiya_livelihoods_classifier_spark.operators.blocking import (
     minhash_signature,
 )
+from tabiya_livelihoods_classifier_spark.session import ensure_session
 
 # --------------------------------------------------------------------------
 # table access
@@ -45,10 +46,15 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's correctness harness passes an arbitrary session into
+    # queries(); apply the engine's runtime contract (UTC timezone /
+    # generate-pushdown exclusion / Arrow / checkpoint dir) on first touch
+    # instead of assuming session.get_spark built it.
+    ensure_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_TABLE_ROWS_CACHE: dict[tuple[str, str], int] = {}
+_TABLE_ROWS_CACHE: dict[tuple, int] = {}
 
 
 def _table_rows(sf_dir: str, name: str) -> int:
@@ -62,7 +68,10 @@ def _table_rows(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = pathlib.Path(sf_dir) / f"{name}.parquet"
-    key = (str(path.resolve()), name)
+    # mtime in the key: a corpus regenerated at the same path within one
+    # process must not serve a stale count (q20's exact-vs-IVF gate would
+    # branch differently from the oracle's live COUNT(*)).
+    key = (str(path.resolve()), name, path.stat().st_mtime_ns)
     if key not in _TABLE_ROWS_CACHE:
         files = (
             sorted(path.rglob("*.parquet")) if path.is_dir() else [path]

@@ -11,10 +11,97 @@ sized to cores rather than the 200 default.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+# Runtime-settable SQL confs the engine's correctness/perf contract depends
+# on. The driver's correctness harness (and any embedding application)
+# passes an ARBITRARY SparkSession into queries(); these are applied onto
+# that session at battery entry (plans/queries.load -> ensure_session) so
+# the engine does not silently depend on how the caller built its session:
+#   * UTC session timezone — timestamp parity with the DuckDB oracle's
+#     naive-UTC semantics;
+#   * InferFiltersFromGenerate exclusion — measured 6-13x on the
+#     shingle/minhash family (rationale at get_spark below);
+#   * Arrow — every pandas UDF crosses the JVM/Python boundary batched;
+#   * reliable-checkpoint GC — iterative CC/closure checkpoints are
+#     deleted once their RDD is collected instead of accumulating in the
+#     (possibly tmpfs) checkpoint dir for the session lifetime.
+RUNTIME_SQL_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Guarantee a reliable-checkpoint dir on the session BEFORE any
+    `Dataset.checkpoint()` call (iterative CC / transitive closure /
+    multi-consumer stage barriers all require one).
+
+    The driver contract hands queries() an arbitrary session
+    (__spark_entry__.py), so every checkpointing operator calls this on the
+    session it actually received rather than assuming get_spark() built it.
+
+    Fallback policy (cluster-safety): a driver-local tempdir is only a
+    correct checkpoint root in local mode, where driver == executors. On a
+    real cluster each executor would write blocks to its OWN file:/tmp and
+    reads would fail or silently see partial data — so for non-local
+    masters we refuse to guess and demand shared storage (HDFS/S3) via
+    SPARK_GRAFT_CHECKPOINT_DIR / setCheckpointDir.
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt:
+        if not sc.master.startswith("local"):
+            raise RuntimeError(
+                "No checkpoint directory configured and master is "
+                f"'{sc.master}' (non-local): a driver-local tempdir would "
+                "be invisible to executors. Set SPARK_GRAFT_CHECKPOINT_DIR "
+                "or call spark.sparkContext.setCheckpointDir() with a "
+                "shared filesystem path (HDFS/S3) before running iterative "
+                "operators."
+            )
+        import tempfile
+
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-ckpt-{os.getpid()}"
+        )
+    sc.setCheckpointDir(ckpt)
+
+
+def ensure_session(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's runtime contract to a session the
+    caller (driver harness, notebook, test) built without get_spark():
+    runtime SQL confs + reliable-checkpoint dir + checkpoint GC. Static
+    confs (driver memory, broadcast threshold defaults) keep whatever the
+    caller chose — only correctness-bearing, runtime-settable knobs are
+    forced."""
+    marker = "spark.tabiya.sessionReady"
+    try:
+        if spark.conf.get(marker, None) == "true":
+            return spark
+    except Exception:  # pragma: no cover - conf API always supports get
+        pass
+    for k, v in RUNTIME_SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception as exc:  # non-runtime conf on some builds
+            warnings.warn(f"could not set {k}={v}: {exc}", stacklevel=2)
+    ensure_checkpoint_dir(spark)
+    spark.conf.set(marker, "true")
+    return spark
 
 
 def get_spark(
@@ -70,6 +157,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Iterative connected-components checkpoints truncate lineage here.
         .config("spark.checkpoint.compress", "true")
+        # GC reliable-checkpoint data once its RDD is collected: iterative
+        # CC/closure supersede their per-iteration checkpoints immediately,
+        # and long batteries would otherwise accumulate corpus-sized files
+        # in the checkpoint dir (tmpfs in the bench harness) for the whole
+        # session lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # InferFiltersFromGenerate infers `size(x)>0 AND isnotnull(x)` from
         # every explode and pushes it below exchanges, INLINING the generator
         # input expression into the filter. Our generator inputs are expensive
@@ -93,12 +186,7 @@ def get_spark(
     # blocks on executors only, so one lost executor after truncation kills
     # the job unrecoverably on a real cluster. Point
     # SPARK_GRAFT_CHECKPOINT_DIR at durable shared storage (HDFS/S3) when
-    # submitting; the local-mode default below is equivalent there.
-    if spark.sparkContext.getCheckpointDir() is None:
-        import tempfile
-
-        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or os.path.join(
-            tempfile.gettempdir(), f"spark-graft-ckpt-{os.getpid()}"
-        )
-        spark.sparkContext.setCheckpointDir(ckpt)
+    # submitting; ensure_checkpoint_dir refuses a driver-local tempdir
+    # fallback on non-local masters.
+    ensure_checkpoint_dir(spark)
     return spark
