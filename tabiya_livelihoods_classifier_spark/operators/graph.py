@@ -75,17 +75,26 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     closure = closure.checkpoint(eager=True)
     n = closure.count()
     for _ in range(max_iter):
+        # pointer doubling: compose the closure WITH ITSELF (not with the
+        # base edges), so reachable path length squares per round —
+        # fixpoint in O(log longest-path) checkpointed rounds instead of
+        # O(longest-path). Each round's self-join is bounded by the
+        # deduped closure size, which is the final output size.
         step = (
-            closure.alias("c")
+            closure.alias("c1")
             .join(
-                edges.alias("e"), F.col("c.ancestor") == F.col("e.child")
+                closure.alias("c2"),
+                F.col("c1.ancestor") == F.col("c2.node"),
             )
-            .select(F.col("c.node").alias("node"), F.col("e.parent").alias("ancestor"))
+            .select(
+                F.col("c1.node").alias("node"),
+                F.col("c2.ancestor").alias("ancestor"),
+            )
         )
-        # reliable checkpoint (session.py sets the dir): `closure` appears
-        # twice in the new plan (union branch + join branch), so without
-        # lineage truncation the plan doubles per iteration; the reliable
-        # variant survives executor loss, unlike localCheckpoint.
+        # reliable checkpoint: `closure` appears three times in the new
+        # plan (union branch + both join branches), so without lineage
+        # truncation the plan would triple per round; the reliable variant
+        # survives executor loss, unlike localCheckpoint.
         new_closure = closure.union(step).dropDuplicates().checkpoint(
             eager=True
         )

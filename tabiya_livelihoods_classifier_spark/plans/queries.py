@@ -2912,18 +2912,44 @@ shh AS (
          CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
               AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id),
+intra AS (
+  -- identical sketches are hamming-0 by definition: emitted from the
+  -- sketch groups directly, NEVER subject to band-bucket purging
+  -- (mirrors simhash_neardup_pairs' in-array intra emission)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+  FROM shh a JOIN shh b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
 bands AS (
-  SELECT doc_id, simhash, b AS band,
+  -- DISTINCT-sketch banding (mirrors collapse_sketches): bucket size is
+  -- counted in distinct sketches, not documents
+  SELECT simhash, b AS band,
          (simhash >> ({_SIMHASH_NBITS // _SIMHASH_BANDS} * b))
            & {(1 << (_SIMHASH_NBITS // _SIMHASH_BANDS)) - 1} AS bv
-  FROM shh CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS b) bs),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS ha, b.simhash AS hb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+  FROM (SELECT DISTINCT simhash FROM shh)
+  CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS b) bs),
+kept AS (
+  -- mirror SIMHASH_BUCKET_MAX: degenerate buckets (> cap distinct
+  -- sketches in one band value) are dropped on BOTH engines
+  SELECT band, bv FROM bands GROUP BY band, bv
+  HAVING COUNT(*) <= {SIMHASH_BUCKET_MAX}),
+rep_pairs AS (
+  SELECT DISTINCT a.simhash AS ha, b.simhash AS hb
+  FROM bands a
+  JOIN kept k ON a.band = k.band AND a.bv = k.bv
+  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+              AND a.simhash < b.simhash),
+near AS (
+  SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+  FROM rep_pairs
+  WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND {SIMHASH_HAMMING_MAX})
+SELECT least(sa.doc_id, sb.doc_id) AS id_a,
+       greatest(sa.doc_id, sb.doc_id) AS id_b,
+       n.hamming AS hamming
+FROM near n
+JOIN shh sa ON sa.simhash = n.ha
+JOIN shh sb ON sb.simhash = n.hb
+UNION ALL
+SELECT id_a, id_b, hamming FROM intra
 """
 
 

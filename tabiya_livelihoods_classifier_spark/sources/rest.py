@@ -35,7 +35,7 @@ import json
 from functools import partial
 from typing import Callable, Iterable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 Fetcher = Callable[[str, dict], bytes]
@@ -168,14 +168,40 @@ def read_rest_json(
     )
 
 
+#: Columns read_rest_json attaches that describe the FETCH, not the record.
+#: They must not participate in the merge identity: re-fetching a truncated
+#: window at finer step_days yields the same record under different window
+#: bounds, and whole-row dedupe would keep both copies where the
+#: reference's content-based set union drops them.
+PROVENANCE_COLS = ("date_from", "date_to", "truncated")
+
+
 def merge_whole_row(incoming: DataFrame, existing: DataFrame | None) -> DataFrame:
     """Reference merge-with-master (1_1_...py:90-103): set-union of whole
     rows. json.dumps(sort_keys=True) over every record == distinct over
-    every column; unionByName keeps the comparison field-aligned even when
-    the feeds evolve column order.
+    every CONTENT column (the canonical ``raw`` string when present);
+    unionByName keeps the comparison field-aligned even when the feeds
+    evolve column order.
+
+    One provenance row survives per distinct record — deterministically the
+    lexicographically smallest (date_from, date_to, truncated) tuple — so
+    repeated window refinements converge to a stable table.
     """
-    if existing is None:
-        return incoming.dropDuplicates()
-    return existing.unionByName(
-        incoming, allowMissingColumns=True
-    ).dropDuplicates()
+    merged = (
+        incoming
+        if existing is None
+        else existing.unionByName(incoming, allowMissingColumns=True)
+    )
+    prov = [c for c in PROVENANCE_COLS if c in merged.columns]
+    content = [c for c in merged.columns if c not in prov]
+    if not prov or not content:
+        return merged.dropDuplicates()
+    w = Window.partitionBy(*content).orderBy(
+        *[F.col(c).asc_nulls_last() for c in prov]
+    )
+    return (
+        merged.dropDuplicates()
+        .withColumn("_mrn", F.row_number().over(w))
+        .filter(F.col("_mrn") == 1)
+        .drop("_mrn")
+    )

@@ -193,3 +193,32 @@ def test_merge_whole_row_is_set_union(spark):
     assert dict(merged2.dtypes)["extra"] == "string"
     # first-load path
     assert merge_whole_row(incoming, None).count() == 2
+
+
+def test_merge_ignores_fetch_provenance(spark):
+    """Re-fetching a truncated window at finer step_days yields the same
+    record under different (date_from, date_to) bounds — the merge must
+    collapse them to ONE row (reference 1_1_...py:90-103 set-unions record
+    CONTENT), keeping the lexicographically smallest provenance tuple."""
+    schema = (
+        "date_from string, date_to string, truncated boolean, "
+        "raw string, ref string"
+    )
+    coarse = spark.createDataFrame(
+        [("2024-01-01", "2024-01-31", True, '{"ref":"a"}', "a")], schema
+    )
+    fine = spark.createDataFrame(
+        [
+            ("2024-01-01", "2024-01-07", False, '{"ref":"a"}', "a"),
+            ("2024-01-08", "2024-01-14", False, '{"ref":"b"}', "b"),
+        ],
+        schema,
+    )
+    merged = merge_whole_row(fine, coarse)
+    rows = {r["ref"]: r for r in merged.collect()}
+    assert len(rows) == 2
+    # deterministic survivor: smallest (date_from, date_to, truncated)
+    assert rows["a"]["date_to"] == "2024-01-07"
+    assert rows["a"]["truncated"] is False
+    # idempotent under replay
+    assert merge_whole_row(fine, merged).count() == 2
