@@ -2,7 +2,11 @@
 Spark and its oracle_sql() on DuckDB, compare row count, column names, and an
 order-insensitive value multiset (columns sorted by name, rows sorted).
 
-Usage: python tools/check_queries.py [sf_dir] [query ...]
+Usage: python tools/check_queries.py [--bare] [sf_dir] [query ...]
+
+--bare builds a plain SparkSession (no checkpoint dir, default confs) the way
+the driver's harness does, instead of the engine's get_spark factory — this is
+the session contract the round-4 regression violated.
 """
 
 from __future__ import annotations
@@ -36,15 +40,29 @@ def normalize(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    if bare:
+        argv.remove("--bare")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from tabiya_livelihoods_classifier_spark.session import get_spark
 
-    spark = get_spark(app_name="check_queries", master="local[8]",
-                      shuffle_partitions=8)
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check_queries_bare")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        from tabiya_livelihoods_classifier_spark.session import get_spark
+
+        spark = get_spark(app_name="check_queries", master="local[8]",
+                          shuffle_partitions=8)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
