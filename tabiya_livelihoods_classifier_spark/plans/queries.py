@@ -548,9 +548,15 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles() emits distinct shingles per doc, so the group size IS the
     # doc frequency; sorted doc lists make pair order (id_a < id_b)
     # deterministic in-array.
+    # persist + eager count: TWO branches (cand pair-gen and the hot-set
+    # fold) consume this grouped frame inside one downstream action — AQE
+    # schedules those query stages concurrently, so without an eager
+    # materialization each would re-run the explode+groupBy. Spills to
+    # disk above memory, so the hint stays valid at corpus scale.
     bys = exploded.groupBy("s").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
+    ).persist()
+    bys.count()
     # the (tiny, bounded) hot-shingle set folded back as a broadcast 1-row
     # aggregate — same pattern as the ER pipeline's stop-token array
     hot_one = bys.filter(F.size("ds") > SHINGLE_DF_CAP).agg(
@@ -562,6 +568,9 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recovery path are all pure expressions over the shingle array.
     # Empty shingle sets are excluded (Jaccard undefined — and md5("")
     # must not pair all empty docs at 1.0).
+    # persisted for the same reason as bys: three consumers (the two sides
+    # of the pair join and the set-signature grouping) would otherwise each
+    # re-scan the staged parquet and re-run the md5/intersect expressions.
     stats = (
         sh.filter(F.size("sh") > 0)
         .crossJoin(F.broadcast(hot_one))
@@ -573,7 +582,8 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hot_arr"),
             F.md5(F.array_join(F.array_sort("sh"), "\x01")).alias("ss"),
         )
-    )
+    ).persist()
+    stats.count()
     # candidate pairs generated in-array per rare shingle: (ds[i], ds[j])
     # for i < j — fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join.
     # The grouped count over them IS |rare(A) ∩ rare(B)|.
@@ -617,16 +627,17 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hot-only recovery (duplicate-heavy corpora): docs whose shingle sets
     # are IDENTICAL pair at Jaccard exactly 1.0 even when every shingle is
-    # hot — pair them within set-signature groups (output-bound: these are
-    # true result rows, not intermediate fan-out).
-    sig = stats.select("doc_id", "ss")
+    # hot — pair them within set-signature groups, generated in-array like
+    # cand (one shuffle of (ss, doc_id), no self-join; output-bound: these
+    # are true result rows, not intermediate fan-out).
     eq = (
-        sig.alias("x")
-        .join(sig.hint("shuffle_hash").alias("y"), "ss")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        stats.groupBy("ss")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         )
     )
@@ -1132,7 +1143,122 @@ def _idcg_table(spark: SparkSession, kmax: int) -> DataFrame:
     return ranks.select("r", idcg.alias("idcg"))
 
 
+# Gate for the numpy block-matmul exact scorer: the query matrix (every
+# 10th vector) is collected and broadcast to executors, so it must be
+# bounded. At this cap the broadcast is <= ~50k queries x 64 int64 ~ 25 MB
+# — the same order as Spark's own broadcast-join threshold. Above it the
+# relational shuffle-replicated cartesian runs instead (no driver collect,
+# no broadcast — survives any corpus size; q22's IVF is the sub-quadratic
+# route anyway).
+KNN_NUMPY_MAX_ROWS = 500_000
+
+
 def _knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact brute-force cosine top-k (queries = every 10th vector).
+
+    Two physical strategies under one contract:
+    - numpy block matmul (corpus <= KNN_NUMPY_MAX_ROWS): the quantized
+      query matrix is broadcast and each Arrow batch of candidates is scored
+      with one BLAS matmul + per-batch partial top-k — ~20x the
+      element-at-a-time Catalyst aggregate-HOF dot product, and exact:
+      integer-valued float64 products/sums stay < 2^53.
+    - relational cartesian above the gate (see _knn_topk_relational).
+    """
+    if _table_rows(sf_dir, "embeddings") <= KNN_NUMPY_MAX_ROWS:
+        return _knn_topk_numpy(spark, sf_dir, k)
+    return _knn_topk_relational(spark, sf_dir, k)
+
+
+def _knn_topk_numpy(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    import numpy as np
+
+    vecs = _quantized_vecs(spark, sf_dir)
+    # bounded driver collect (see KNN_NUMPY_MAX_ROWS): queries only
+    qrows = (
+        vecs.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "label", "q", "nq")
+        .collect()
+    )
+    lab_t = dict(vecs.dtypes)["label"]  # follow the corpus label type
+    out_schema = (
+        f"query_id bigint, candidate_id bigint, query_label {lab_t}, "
+        f"candidate_label {lab_t}, sim double"
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rnk int")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlab = np.array([r["label"] for r in qrows], dtype=object)
+    qmat = np.array([r["q"] for r in qrows], dtype=np.float64)
+    qnrm = np.array([r["nq"] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qlab, qmat, qnrm))
+    kk = int(k)
+
+    def score_blocks(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        b_qids, b_qlab, b_qmat, b_qnrm = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = pdf["vec_id"].to_numpy(dtype=_np.int64)
+            cmat = _np.array(list(pdf["q"]), dtype=_np.float64)
+            cnrm = pdf["nq"].to_numpy(dtype=_np.float64)
+            clab = pdf["label"].to_numpy(dtype=object)
+            # exact: quantized components <= 1e6, so every product and
+            # 64-term sum is an integer < 2^53 — float64 matmul loses
+            # nothing regardless of BLAS accumulation order. Denominator
+            # mirrors the relational/oracle form sqrt(na_double*nb_double)
+            # op-for-op, so sims are bitwise identical across strategies.
+            sims = (b_qmat @ cmat.T) / _np.sqrt(
+                b_qnrm[:, None] * cnrm[None, :]
+            )
+            sims[b_qids[:, None] == cid[None, :]] = -_np.inf  # self-match
+            # partial top-k per batch under the GLOBAL total order
+            # (sim desc, candidate_id asc): columns pre-sorted by id asc,
+            # then a stable sort on -sim keeps ties id-ascending — so the
+            # union of per-batch top-k provably contains the global top-k.
+            order = _np.argsort(cid, kind="stable")
+            cid_s = cid[order]
+            sims_s = sims[:, order]
+            kept = min(kk, cid_s.shape[0])
+            top = _np.argsort(-sims_s, axis=1, kind="stable")[:, :kept]
+            qi = _np.repeat(_np.arange(nq), kept)
+            ci = top.ravel()
+            s = sims_s[_np.repeat(_np.arange(nq), kept), ci]
+            mask = _np.isfinite(s)  # drop self rows that slipped into top-k
+            yield _pd.DataFrame(
+                {
+                    "query_id": b_qids[qi][mask],
+                    "candidate_id": cid_s[ci][mask],
+                    "query_label": b_qlab[qi][mask],
+                    "candidate_label": clab[order][ci][mask],
+                    "sim": s[mask],
+                }
+            )
+
+    partials = vecs.mapInPandas(score_blocks, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select(
+            "query_id",
+            "candidate_id",
+            "query_label",
+            "candidate_label",
+            F.round("sim", 6).alias("sim"),
+            "rnk",
+        )
+    )
+
+
+def _knn_topk_relational(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir)
     a = vecs.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -19,17 +19,45 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_q20_small_corpus_exact_join_is_shuffle_cartesian(spark):
-    """Under ANN_EXACT_MAX_ROWS the exact brute-force path runs, and it must
-    not broadcast the candidate corpus: the scale-safe strategy is a
-    shuffle-replicated cartesian. Asserted on the stage PRODUCER plan
-    (_knn_topk): the q20 entry itself returns the committed kNN stage
-    (a parquet scan) once _knn_topk_staged has materialized it."""
+def test_q20_small_corpus_exact_scorer_is_arrow_block_matmul(spark):
+    """Under KNN_NUMPY_MAX_ROWS the exact scorer is the Arrow block-matmul
+    mapInPandas over candidate batches — one scan of the corpus, no join
+    node at all (the query matrix rides a Spark broadcast variable).
+    Asserted on the stage PRODUCER plan (_knn_topk): the q20 entry itself
+    returns the committed kNN stage (a parquet scan) once _knn_topk_staged
+    has materialized it."""
     from tabiya_livelihoods_classifier_spark.plans.queries import _knn_topk
 
     p = _plan(_knn_topk(spark, SF, 5))
+    assert "MapInPandas" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_knn_relational_fallback_is_shuffle_cartesian(spark):
+    """Above the numpy gate the relational fallback runs, and it must not
+    broadcast the candidate corpus: the scale-safe strategy is a
+    shuffle-replicated cartesian."""
+    from tabiya_livelihoods_classifier_spark.plans.queries import (
+        _knn_topk_relational,
+    )
+
+    p = _plan(_knn_topk_relational(spark, SF, 5))
     assert "CartesianProduct" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_knn_numpy_matches_relational(spark):
+    """The two exact-kNN physical strategies are one contract: identical
+    rows (ranks, labels, and bitwise-identical rounded sims) at sf0.001."""
+    from tabiya_livelihoods_classifier_spark.plans.queries import (
+        _knn_topk_numpy,
+        _knn_topk_relational,
+    )
+
+    a = sorted(map(tuple, _knn_topk_numpy(spark, SF, 5).collect()))
+    b = sorted(map(tuple, _knn_topk_relational(spark, SF, 5).collect()))
+    assert a == b
 
 
 def test_q20_large_corpus_routes_through_ivf(spark):
