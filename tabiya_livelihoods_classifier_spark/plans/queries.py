@@ -533,6 +533,27 @@ def _shingled_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 200
 
 
+def _in_array_pairs(arr, a_name: str = "id_a", b_name: str = "id_b"):
+    """All (arr[i], arr[j]) i<j pair structs of a SORTED array column — the
+    in-array candidate-generation primitive shared by the dedup family
+    (q12 rare-shingle and set-signature pairs, q42 bucket/intra pairs):
+    no self-join, fan-out bounded by C(len(arr), 2), and pair order
+    (a < b) inherited from the array sort. `arr` MUST be a bound attribute
+    (F.col of a materialized column), not a raw expression tree — inside
+    the transform lambdas an expression would be re-evaluated per element
+    (the shingles() lesson: quadratic re-evaluation after CollapseProject).
+    """
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shape chosen by measurement: the classic rare-shingle SELF-JOIN plan
     # (round 2) consumed the shingled corpus from 10 branches (10 full
@@ -587,15 +608,7 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs generated in-array per rare shingle: (ds[i], ds[j])
     # for i < j — fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join.
     # The grouped count over them IS |rare(A) ∩ rare(B)|.
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_arr = _in_array_pairs(F.col("ds"))
     cand = (
         bys.filter(
             (F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP)
@@ -2958,36 +2971,47 @@ def simhash_neardup_pairs(
     # true result rows, so the emission is output-bound; at the scale where
     # even the OUTPUT is intractable (1e6-dup groups => C(1e6,2) pairs) the
     # cluster representation (q44) is the product, not pair enumeration.
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     intra = (
         groups.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
+        .select(F.explode(_in_array_pairs(F.col("ids"))).alias("p"))
         .select(
             F.col("p.id_a").alias("id_a"),
             F.col("p.id_b").alias("id_b"),
             F.lit(0).cast("int").alias("hamming"),
         )
     )
-    bands = simhash_band_membership(groups, nbits, n_bands, bucket_max)
-    a = bands.alias("a")
-    b = bands.hint("shuffle_hash").alias("b")  # fact x fact: never broadcast
+    # band buckets grouped ONCE over distinct sketches: the same grouped
+    # pass yields the purge predicate (bucket size in DISTINCT hashes) AND
+    # the sorted member list for in-array pair generation — replacing the
+    # previous count-aggregate + anti-join + band self-join (two shuffles
+    # of the membership fact) with one groupBy. Fan-out stays bounded by
+    # C(bucket_max, 2) per surviving bucket, exactly the self-join's bound.
+    bw = nbits // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", bw * b)
+            .bitwiseAND(F.lit((1 << bw) - 1))
+            .alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = (
+        groups.select(
+            "simhash", F.explode(F.array(*band_structs)).alias("bb")
+        )
+        .groupBy(F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+        .agg(F.array_sort(F.collect_list("simhash")).alias("hs"))
+    )
     # rep-level pair dedupe: a distinct-hash pair can match in up to 4
     # bands, so the dedupe fact is O(distinct near-dup hash pairs) — NOT
     # O(doc pairs x bands) as the pre-collapse formulation paid.
     rep_pairs = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("a.simhash") < F.col("b.simhash"))
-        .select(
-            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb")
+        buckets.filter(
+            (F.size("hs") >= 2) & (F.size("hs") <= bucket_max)
         )
+        .select(F.explode(_in_array_pairs(F.col("hs"), "ha", "hb")).alias("p"))
+        .select(F.col("p.ha").alias("ha"), F.col("p.hb").alias("hb"))
         .dropDuplicates(["ha", "hb"])
         .withColumn(
             "hamming",

@@ -109,8 +109,18 @@ class StageStore:
         ldir = self.root / "_lineage"
         ldir.mkdir(exist_ok=True)
         lineage.write.mode("overwrite").parquet(str(ldir / f"{stage}.parquet"))
-        rows = committed.count()
-        n_files = lineage.count()
+        # rows/n_files come off the WRITTEN lineage snapshot: one tiny scan
+        # of the per-file rows instead of re-running the data-wide lineage
+        # aggregate (n_files) plus a separate count job (rows).
+        summary = (
+            self.lineage(stage)
+            .agg(
+                F.sum("rows").alias("rows"), F.count("*").alias("n_files")
+            )
+            .collect()[0]
+        )
+        rows = int(summary["rows"] or 0)
+        n_files = summary["n_files"]
 
         mdir = self.root / "_metrics"
         mdir.mkdir(exist_ok=True)
