@@ -776,13 +776,17 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
     )
-    a = mem.alias("a")
-    b = mem.hint("shuffle_hash").alias("b")  # fact x fact: never broadcast
+    # candidate pairs in-array per band bucket (one groupBy of the
+    # membership fact instead of a bucket self-join): identical fan-out
+    # bound — C(bucket, 2) either way — one fewer shuffle, and pair order
+    # (id_a < id_b) falls out of the array sort.
     pairs = (
-        a.join(b, "bk")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        mem.groupBy("bk")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(_in_array_pairs(F.col("ds"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
         )
         .dropDuplicates()
     )
