@@ -212,7 +212,22 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
     from tabiya_livelihoods_classifier_spark.session import get_spark
 
-    cores = int(re.search(r"\[(\d+)\]", master).group(1))
+    # first bracketed number = parallelism for both master shapes:
+    # local[N] (N task threads, one JVM) and local-cluster[N,1,mem]
+    # (N single-core executor JVMs — the faithful stand-in for N
+    # executors: per-executor heaps/GC + real shuffle block transfer).
+    cores = int(re.search(r"\[(\d+)", master).group(1))
+    lc = master.startswith("local-cluster")
+    extra = dict(BENCH_CONF)
+    if lc:
+        mem_mb = int(master.rstrip("]").split(",")[-1])
+        # executor JVMs size their heap from spark.executor.memory
+        # (default 1g), bounded by the worker memory in the master string.
+        extra["spark.executor.memory"] = f"{mem_mb}m"
+        # executor python workers are spawned by SEPARATE worker JVMs and
+        # do not inherit the driver's sys.path — ship the package the same
+        # way spark-submit --py-files would.
+        extra["spark.executorEnv.PYTHONPATH"] = str(REPO)
     spark = get_spark(
         app_name=f"er-bench-{cores}",
         master=master,
@@ -226,7 +241,7 @@ def run_er_once(master: str, turns_parquet: str) -> int:
         # AQE coalesces the tiny post-collapse shuffles either way.
         shuffle_partitions=64,
         extra_conf={
-            **BENCH_CONF,
+            **extra,
             # shuffle/spill on tmpfs: the sandbox's /tmp is a VM block
             # device; a real cluster node shuffles to local NVMe. Keeps the
             # disk out of the N-vs-4N comparison.
@@ -299,11 +314,18 @@ def run_er_profile(master: str, turns_parquet: str) -> int:
     from tabiya_livelihoods_classifier_spark.session import get_spark
 
     cores = int(re.search(r"\[(\d+)\]", master).group(1))
+    # Mirror run_er_once's session exactly (fixed 64 shuffle partitions +
+    # tmpfs spill dir): the profile attributes the MEASURED configuration;
+    # 16 partitions at 8 concurrent tasks spills in the record-aggregation
+    # stage and profiles a different job than the one being graded.
     spark = get_spark(
         app_name=f"er-profile-{cores}",
         master=master,
-        shuffle_partitions=2 * max(cores, 8),
-        extra_conf=BENCH_CONF,
+        shuffle_partitions=64,
+        extra_conf={
+            **BENCH_CONF,
+            "spark.local.dir": tempfile.mkdtemp(dir="/dev/shm", prefix="sl-"),
+        },
     )
     spark.sparkContext.setCheckpointDir(
         tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")

@@ -44,8 +44,10 @@ def canonicalize_text(col: Column | str) -> Column:
     the whitespace collapse of 1_1_...py:228-236. Pure codegen expressions.
     """
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    c = F.regexp_replace(c, r"[\n\r\t]", " ")
-    c = F.regexp_replace(c, r" {2,}", " ")
+    # ONE regex pass: a maximal [\n\r\t ] run maps to a single space either
+    # way (newline->space then space-collapse, or directly), but the fused
+    # form scans + allocates the corpus-sized string column once, not twice.
+    c = F.regexp_replace(c, r"[\n\r\t ]+", " ")
     return F.trim(c)
 
 

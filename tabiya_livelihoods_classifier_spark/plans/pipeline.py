@@ -114,11 +114,19 @@ def conversation_records(
     embed: bool = True,
     with_text: bool = True,
     materialize=None,
+    token_source: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 2: one feature row per conversation.
 
     `with_text=False` drops the record_text sorted-concat from the
     per-conversation aggregate entirely (the ER path never reads it).
+    `token_source` optionally supplies the (conv_id, text) frame the token
+    explode reads instead of `canon` — er_pipeline passes the RAW turns:
+    tokens() is invariant under canonicalize_text (every character class it
+    rewrites — \\n \\r \\t and space runs — is inside the [^a-z0-9]+ split
+    class; pinned by test_canonicalize), so tokenizing upstream of the
+    canonicalization projection deletes the corpus-wide canonicalize regex
+    pass + string allocation from the pipeline's hottest branch.
     `materialize` is an optional DataFrame -> DataFrame hook applied to the
     three multi-consumer intermediates (per_conv, tok_counts, recs). They
     are each consumed by 2-3 downstream branches whose column pruning makes
@@ -171,7 +179,7 @@ def conversation_records(
     # (conv_id, token), and each turn contributes one row per distinct token
     # either way — narrower rows through the corpus-wide explode+aggregate,
     # the most bandwidth-bound path in the pipeline.
-    turn_tokens = canon.select(
+    turn_tokens = (token_source if token_source is not None else canon).select(
         "conv_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
     )
@@ -412,6 +420,11 @@ def er_pipeline(
         # explode+aggregate runs twice and the per-conv aggregate three
         # times (measured at bench16/local[8]: records stage 92 s -> ~50 s)
         materialize=_materialize_stage,
+        # tokenize the raw turns, not the canonicalized projection: token
+        # output is provably identical (see conversation_records docstring)
+        # and the with_text=False ER plan then never evaluates the
+        # canonicalize regex at all.
+        token_source=turns,
     )
     # records feed the signature collapse AND the final rid->component map
     records = records.persist()

@@ -39,3 +39,36 @@ def test_canonicalize_edge_cases(spark):
     ).collect()}
     for i, c in enumerate(cases):
         assert got[i] == reference_canonicalize(c)
+
+
+def test_tokens_invariant_under_canonicalize(spark):
+    """er_pipeline tokenizes the RAW text (pipeline.conversation_records
+    token_source): sound only because tokens() output is identical with and
+    without canonicalize_text — every character canonicalization rewrites is
+    in the [^a-z0-9]+ split class. Pin that equivalence on adversarial
+    whitespace/markup mixes (property check, exhaustive over the fixtures)."""
+    from pyspark.sql import functions as F
+
+    from tabiya_livelihoods_classifier_spark.functions.text import (
+        canonicalize_text,
+        tokens,
+    )
+
+    cases = [
+        None, "", " ", "\n", "\t\r\n", "a", "a\nb", "a\r\n\tb",
+        "  A   b  ", "x\n\n\n y\t\tz", "tab\ttab", "1.5%  rate\n",
+        "<b>x</b>\n\ty", "a-b_c d", "\ta\n", "Ł\nż", "a  b\tc\rd\ne",
+    ]
+    # cross-product pairs to cover run boundaries across concatenation
+    cases += [f"{a} {b}" for a in cases[:8] if a for b in cases[:8] if b]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    )
+    got = df.select(
+        "i",
+        tokens(F.col("text")).alias("raw_toks"),
+        tokens(canonicalize_text("text")).alias("canon_toks"),
+    ).collect()
+    assert len(got) == len(cases)
+    for r in got:
+        assert r.raw_toks == r.canon_toks, (r.i, cases[r.i])
