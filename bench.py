@@ -272,7 +272,8 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     warmup_s = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    stages = er_pipeline(spark, turns)
+    timings: dict = {}
+    stages = er_pipeline(spark, turns, timings=timings)
     cl = stages["clusters"]
     row = cl.agg(
         F.count("*").alias("n"), F.countDistinct("component").alias("nc")
@@ -289,6 +290,14 @@ def run_er_once(master: str, turns_parquet: str) -> int:
                 "wall_s": round(wall, 3),
                 "tps": round(n_turns / wall, 1),
                 "warmup_s": warmup_s,
+                "records_s": timings.get("records_s"),
+                "tail_s": timings.get("tail_s"),
+                "compose_s": round(
+                    wall
+                    - timings.get("records_s", 0.0)
+                    - timings.get("tail_s", 0.0),
+                    3,
+                ),
                 "master": master,
             }
         )

@@ -161,7 +161,13 @@ def conversation_records(
             F.array_sort(F.collect_set(F.when(F.col("tool") != "", F.col("tool")))),
             ",",
         ).alias("role_sig"),
-        F.countDistinct("turn_idx").alias("n_turns"),
+        # size(collect_set) == count(distinct), but count(distinct) plans a
+        # SECOND corpus-wide exchange keyed (conv_id, turn_idx) whose
+        # partial aggregate reduces ~nothing ((conv, turn) is near-unique);
+        # the set dedupes inside the map-side buffer instead, so the only
+        # exchange carries one already-collapsed row per conversation.
+        # Bounded: a set holds at most the conversation's turn count.
+        F.size(F.collect_set("turn_idx")).alias("n_turns"),
     ]
     if with_text:
         aggs.insert(
@@ -387,6 +393,7 @@ def er_pipeline(
     spark: SparkSession,
     turns: DataFrame,
     cfg: ERConfig = ERConfig(),
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run stages 1-5; return every intermediate (for tests/lineage) + clusters.
 
@@ -398,6 +405,13 @@ def er_pipeline(
     membership/pairs/scored/edges are at SIGNATURE granularity (ids are
     sids); clusters is back at record granularity.
     """
+    # optional stage timing (bench decomposition): the three eager
+    # checkpoints make conversation_records() a synchronous corpus-scale
+    # stage, and connected_components() runs its own eager barrier + probe,
+    # so wall-clock around these calls attributes records vs tail honestly.
+    import time as _time
+
+    _t0 = _time.perf_counter()
     canon = canonical_turns(turns)
     # SLIM projection before persist: the ER stages only consume
     # (rid, role_sig, tokens, name_key). Persisting the full record row
@@ -426,6 +440,9 @@ def er_pipeline(
         # canonicalize regex at all.
         token_source=turns,
     )
+    if timings is not None:
+        timings["records_s"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
     # records feed the signature collapse AND the final rid->component map
     records = records.persist()
     sig = signature_records(records).persist()
@@ -439,6 +456,8 @@ def er_pipeline(
     sig_clusters = connected_components(
         edges, nodes=sig.select(F.col("sid").alias("rid"))
     )
+    if timings is not None:
+        timings["tail_s"] = round(_time.perf_counter() - _t0, 3)
     clusters = (
         records.select("rid", "name_key")
         .join(sig.select("name_key", "sid"), "name_key")
