@@ -225,13 +225,19 @@ def conversation_records(
     )
     majority = (
         tok_counts.join(F.broadcast(turn_stop_df), "token", "left_anti")
-        .join(per_conv.select("conv_id", "n_turns"), "conv_id")
+        # shuffle_hash: both sides arrive hash-partitioned by conv_id from
+        # their aggregations, so the only thing sort-merge adds is two
+        # corpus-scale sorts; hash-building the per-conv side skips them.
+        .join(
+            per_conv.select("conv_id", "n_turns").hint("shuffle_hash"),
+            "conv_id",
+        )
         .filter(F.col("n_tok_turns") > MAJORITY_TURN_FRACTION * F.col("n_turns"))
         .groupBy("conv_id")
         .agg(F.array_sort(F.collect_set("token")).alias("tokens_all"))
     )
     recs = mat(
-        per_conv.join(majority, "conv_id", "left").select(
+        per_conv.join(majority.hint("shuffle_hash"), "conv_id", "left").select(
             F.col("conv_id").alias("rid"),
             *(["record_text"] if with_text else []),
             "role_sig",
@@ -296,18 +302,31 @@ def signature_records(records: DataFrame) -> DataFrame:
     record-level blocking recall, and rs_n carries the member count so
     block purging can weigh blocks by RECORD mass), n_members, embedding.
     """
+    # tokens is a pure function of name_key (name_key = array_join(tokens,
+    # ' ') and tokens are space-free by the [^a-z0-9]+ split): when the
+    # caller hands a SLIM records frame (er_pipeline drops the token array
+    # from the corpus-sized persist — ~40% fewer cached/decoded bytes per
+    # record), re-derive it here on the collapsed signature rows instead.
+    have_tokens = "tokens" in records.columns
     by_rs = records.groupBy("name_key", "role_sig").agg(
         F.count("*").alias("rs_n"), F.min("rid").alias("rs_min_rid"),
-        F.first("tokens").alias("tokens"),
+        *([F.first("tokens").alias("tokens")] if have_tokens else []),
     )
     sig = by_rs.groupBy("name_key").agg(
         F.min("rs_min_rid").alias("sid"),
-        F.first("tokens").alias("tokens"),
+        *([F.first("tokens").alias("tokens")] if have_tokens else []),
         F.array_sort(
             F.collect_list(F.struct("role_sig", "rs_n"))
         ).alias("role_sigs"),
         F.sum("rs_n").alias("n_members"),
     )
+    if not have_tokens:
+        sig = sig.withColumn(
+            "tokens",
+            F.when(
+                F.col("name_key") == "", F.array().cast("array<string>")
+            ).otherwise(F.split("name_key", " ")),
+        )
     return sig.select(
         "sid",
         "name_key",
@@ -440,6 +459,11 @@ def er_pipeline(
         # canonicalize regex at all.
         token_source=turns,
     )
+    # SLIM the corpus-sized persist to (rid, role_sig, name_key): tokens is
+    # re-derivable from name_key at SIGNATURE granularity (2-3 orders of
+    # magnitude fewer rows), so caching the token array per record buys
+    # nothing downstream and costs ~40% of the cache/decode bytes.
+    records = records.select("rid", "role_sig", "name_key")
     if timings is not None:
         timings["records_s"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
