@@ -207,6 +207,9 @@ def _host_capacity_probe() -> dict:
 
 def run_er_once(master: str, turns_parquet: str) -> int:
     """One ER pipeline run; prints {"turns": n, "wall_s": w, "tps": t}."""
+    import atexit
+    import shutil
+
     from pyspark.sql import functions as F
 
     from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
@@ -228,6 +231,14 @@ def run_er_once(master: str, turns_parquet: str) -> int:
         # do not inherit the driver's sys.path — ship the package the same
         # way spark-submit --py-files would.
         extra["spark.executorEnv.PYTHONPATH"] = str(REPO)
+    # tmpfs scratch dirs, removed at interpreter exit (atexit, not finally:
+    # the JVM must be down before the shuffle dir can be fully reclaimed) —
+    # RAM-backed checkpoint/shuffle data must not accumulate across the
+    # many attempts of a scaling session.
+    local_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="sl-")
+    ckpt_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
+    for d in (local_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     spark = get_spark(
         app_name=f"er-bench-{cores}",
         master=master,
@@ -245,16 +256,14 @@ def run_er_once(master: str, turns_parquet: str) -> int:
             # shuffle/spill on tmpfs: the sandbox's /tmp is a VM block
             # device; a real cluster node shuffles to local NVMe. Keeps the
             # disk out of the N-vs-4N comparison.
-            "spark.local.dir": tempfile.mkdtemp(dir="/dev/shm", prefix="sl-"),
+            "spark.local.dir": local_dir,
         },
     )
     # checkpoint barriers (records intermediates + CC) on tmpfs for the
     # same reason as spark.local.dir: a real cluster checkpoints to
     # HDFS-on-NVMe; the sandbox's /tmp block device would put VM disk
     # latency into the N-vs-4N comparison.
-    spark.sparkContext.setCheckpointDir(
-        tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
-    )
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
     turns = spark.read.parquet(turns_parquet)
     n_turns = turns.count()  # warms input outside the timed window
     n_convs = turns.select("conv_id").distinct().count()
@@ -327,18 +336,20 @@ def run_er_profile(master: str, turns_parquet: str) -> int:
     # tmpfs spill dir): the profile attributes the MEASURED configuration;
     # 16 partitions at 8 concurrent tasks spills in the record-aggregation
     # stage and profiles a different job than the one being graded.
+    import atexit
+    import shutil
+
+    local_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="sl-")
+    ckpt_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
+    for d in (local_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     spark = get_spark(
         app_name=f"er-profile-{cores}",
         master=master,
         shuffle_partitions=64,
-        extra_conf={
-            **BENCH_CONF,
-            "spark.local.dir": tempfile.mkdtemp(dir="/dev/shm", prefix="sl-"),
-        },
+        extra_conf={**BENCH_CONF, "spark.local.dir": local_dir},
     )
-    spark.sparkContext.setCheckpointDir(
-        tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
-    )
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
     turns = spark.read.parquet(turns_parquet)
     n_turns = turns.count()
 
