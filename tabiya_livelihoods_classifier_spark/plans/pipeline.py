@@ -225,13 +225,12 @@ def conversation_records(
     )
     majority = (
         tok_counts.join(F.broadcast(turn_stop_df), "token", "left_anti")
-        # shuffle_hash: both sides arrive hash-partitioned by conv_id from
-        # their aggregations, so the only thing sort-merge adds is two
-        # corpus-scale sorts; hash-building the per-conv side skips them.
-        .join(
-            per_conv.select("conv_id", "n_turns").hint("shuffle_hash"),
-            "conv_id",
-        )
+        # NO join hint: the (conv_id, n_turns) projection is small enough
+        # that AQE broadcast-joins it at bench scales (measured ~7% faster
+        # at local[8] than a forced shuffle_hash), and at corpus scales
+        # where it outgrows the broadcast ceiling AQE falls back to the
+        # shuffled strategies on actual sizes.
+        .join(per_conv.select("conv_id", "n_turns"), "conv_id")
         .filter(F.col("n_tok_turns") > MAJORITY_TURN_FRACTION * F.col("n_turns"))
         .groupBy("conv_id")
         .agg(F.array_sort(F.collect_set("token")).alias("tokens_all"))
