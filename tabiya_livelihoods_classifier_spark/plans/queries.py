@@ -533,28 +533,48 @@ def _shingled_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 200
 
 
-def _in_array_pairs(arr, a_name: str = "id_a", b_name: str = "id_b"):
-    """All (arr[i], arr[j]) i<j pair structs of a SORTED array column — the
-    in-array candidate-generation primitive shared by the dedup family
-    (q12 rare-shingle and set-signature pairs, q42 bucket/intra pairs):
-    no self-join, fan-out bounded by C(len(arr), 2), and pair order
-    (a < b) inherited from the array sort. `arr` MUST be a bound attribute
-    (F.col of a materialized column), not a raw expression tree — inside
-    the transform lambdas an expression would be re-evaluated per element
-    (the shingles() lesson: quadratic re-evaluation after CollapseProject).
+def _pair_explode(
+    grouped: DataFrame,
+    arr: str,
+    a_name: str = "id_a",
+    b_name: str = "id_b",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """STREAMED (arr[i], arr[j]) i<j pair emission from a SORTED array
+    column — the candidate-generation primitive shared by the dedup family
+    (q12 rare-shingle and set-signature pairs, q14 LSH buckets, q42
+    bucket/intra pairs). posexplode picks the left id, then a second
+    explode over slice(arr, i+2, n) streams the right ids.
+
+    Why two generators instead of one materialized pair array: the previous
+    formulation (flatten(transform(...)) of C(n,2) structs, then explode)
+    held EVERY pair of a group in ONE row before the explode — a corpus
+    with one value duplicated 1e6 times builds a C(1e6,2)-element array in
+    a single task (executor OOM; above ~65k it exceeds the JVM array-length
+    limit outright). Here the widest row is O(n) (the group's id array,
+    which the upstream collect_list already materializes anyway), the two
+    Generate nodes pipeline inside one whole-stage-codegen stage, and total
+    streamed bytes are the same order as the pair OUTPUT itself — i.e. the
+    emission is output-bound, never a single-row memory spike. Pair order
+    (a < b) is inherited from the array sort; `keep` columns pass through.
     """
-    return F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)),
-                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
-            ),
-        )
+    step = grouped.select(
+        *keep,
+        F.col(arr).alias("_arr"),
+        F.posexplode(F.col(arr)).alias("_i", a_name),
+    )
+    return step.select(
+        *keep,
+        a_name,
+        F.explode(
+            F.slice(F.col("_arr"), F.col("_i") + 2, F.size(F.col("_arr")))
+        ).alias(b_name),
     )
 
 
-def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
     # Shape chosen by measurement: the classic rare-shingle SELF-JOIN plan
     # (round 2) consumed the shingled corpus from 10 branches (10 full
     # tokenize+shingle passes) and pushed 2.7M join rows through 8
@@ -605,16 +625,17 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()
     stats.count()
-    # candidate pairs generated in-array per rare shingle: (ds[i], ds[j])
-    # for i < j — fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join.
-    # The grouped count over them IS |rare(A) ∩ rare(B)|.
-    pair_arr = _in_array_pairs(F.col("ds"))
+    # candidate pairs streamed per rare shingle: (ds[i], ds[j]) for i < j —
+    # fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join, no materialized
+    # pair array. The grouped count over them IS |rare(A) ∩ rare(B)|.
     cand = (
-        bys.filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP)
+        _pair_explode(
+            bys.filter(
+                (F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP)
+            ),
+            "ds",
         )
-        .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common_rare"))
     )
     sa = stats.select(
@@ -640,21 +661,50 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hot-only recovery (duplicate-heavy corpora): docs whose shingle sets
     # are IDENTICAL pair at Jaccard exactly 1.0 even when every shingle is
-    # hot — pair them within set-signature groups, generated in-array like
-    # cand (one shuffle of (ss, doc_id), no self-join; output-bound: these
-    # are true result rows, not intermediate fan-out).
+    # hot — pair them within set-signature groups, streamed like cand (one
+    # shuffle of (ss, doc_id), no self-join; these groups are UNCAPPED, so
+    # the streamed emission is what keeps a 1e5-duplicate corpus from
+    # building a C(1e5,2) array in one task — see _pair_explode).
     eq = (
-        stats.groupBy("ss")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
+        _pair_explode(
+            stats.groupBy("ss")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2),
+            "ds",
+        )
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
+            "id_a",
+            "id_b",
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return rare_pairs.unionByName(eq).dropDuplicates(["id_a", "id_b"])
+    out = rare_pairs.unionByName(eq).dropDuplicates(["id_a", "id_b"])
+    return out, [bys, stats]
+
+
+def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged like q14 (_lsh_pairs_staged): the plan-build persists two
+    corpus-scale frames (bys/stats) with eager counts; committing the
+    result through the StageStore bounds that cost to ONE materialization
+    per (corpus, params) and lets the persists be released immediately —
+    previously they (and their MEMORY_AND_DISK spill) accumulated for the
+    session lifetime (r5 ADVICE)."""
+    from tabiya_livelihoods_classifier_spark.storage import params_hash
+
+    ph = params_hash(
+        "jaccard_pairs_v1", str(sf_dir), _corpus_mtime(sf_dir),
+        SHINGLE_DF_CAP, 0.5,
+    )
+    stage = f"jaccard_pairs_{ph}"
+    store = _stage_store(spark)
+    if store.is_committed(stage, ph):
+        return store.read(stage)
+    plan, persisted = _jaccard_pairs_plan(spark, sf_dir)
+    try:
+        return store.commit(stage, plan, ph)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 Q12_SQL = f"""
@@ -776,17 +826,18 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
     )
-    # candidate pairs in-array per band bucket (one groupBy of the
+    # candidate pairs streamed per band bucket (one groupBy of the
     # membership fact instead of a bucket self-join): identical fan-out
-    # bound — C(bucket, 2) either way — one fewer shuffle, and pair order
-    # (id_a < id_b) falls out of the array sort.
+    # bound — C(bucket, 2) either way — one fewer shuffle, pair order
+    # (id_a < id_b) falls out of the array sort, and buckets are UNCAPPED
+    # (identical docs share every band key), so the streamed emission is
+    # what bounds task memory on duplicate-heavy corpora (_pair_explode).
     pairs = (
-        mem.groupBy("bk")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(_in_array_pairs(F.col("ds"))).alias("p"))
-        .select(
-            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        _pair_explode(
+            mem.groupBy("bk")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2),
+            "ds",
         )
         .dropDuplicates()
     )
@@ -1097,9 +1148,13 @@ _KNN_CTE = f"""
 vecs AS (
   SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
 norms AS (
-  SELECT vec_id, label, q,
-         list_sum(list_transform(q, x -> x * x)) AS nq
-  FROM vecs),
+  -- nq > 0 mirrors _quantized_vecs: zero-norm vectors produce NaN cosines
+  -- whose rank order is engine-defined, so both engines exclude them
+  SELECT * FROM (
+    SELECT vec_id, label, q,
+           list_sum(list_transform(q, x -> x * x)) AS nq
+    FROM vecs) t
+  WHERE nq > 0),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
          a.label AS query_label, b.label AS candidate_label,
@@ -1133,7 +1188,13 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return vecs.withColumn("nq", nq)
+    # Zero-norm vectors are excluded from BOTH roles (query and candidate):
+    # cosine of a zero vector is 0/0 = NaN, and the two exact-kNN strategies
+    # disagree on NaN ordering (numpy argsort ranks NaN last and the
+    # isfinite mask drops it; Spark's window ORDER BY sim DESC ranks NaN
+    # FIRST) — so the cross-strategy bitwise contract silently breaks on a
+    # degenerate row. Mirrored as `nq > 0` in every oracle twin's norms CTE.
+    return vecs.withColumn("nq", nq).filter(F.col("nq") > 0)
 
 
 def _idcg_table(spark: SparkSession, kmax: int) -> DataFrame:
@@ -1451,8 +1512,14 @@ def q21_knn_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = topk.withColumn(
         "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
     )
-    # total relevant per query in full candidate pool (for recall/ndcg)
-    nrel = _nrel_per_query(_quantized_vecs(spark, sf_dir))
+    # total relevant per query in full candidate pool (for recall/ndcg):
+    # the RAW embeddings table, matching the oracle's `FROM embeddings`
+    # nrel CTE — the relevance pool deliberately includes zero-norm vectors
+    # that _quantized_vecs excludes from RANKING (they can never be
+    # retrieved, but they are still "relevant" rows the recall denominator
+    # counts). Also cheaper: no quantization pass for a (vec_id, label)
+    # histogram.
+    nrel = _nrel_per_query(load(spark, sf_dir, "embeddings"))
     dec = "decimal(18,12)"
     cum_w = (
         Window.partitionBy("query_id")
@@ -1677,8 +1744,10 @@ Q22_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
 norms AS (
-  SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) AS nq
-  FROM vecs),
+  SELECT * FROM (
+    SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) AS nq
+    FROM vecs) t
+  WHERE nq > 0),
 {_IVF_CTE.strip()}
 SELECT query_id, candidate_id, rnk, sim FROM ivf_ranked WHERE rnk <= 5
 """
@@ -2197,8 +2266,11 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    vecs = vecs.withColumn("nq", nq).repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
+    # zero-norm exclusion (same NaN-parity rationale as _quantized_vecs)
+    vecs = (
+        vecs.withColumn("nq", nq)
+        .filter(F.col("nq") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     band_keys = F.array(
         *[
@@ -2270,7 +2342,10 @@ vecs AS (
          list_transform(e, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
   FROM corpus),
 norms AS (
-  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM vecs),
+  SELECT * FROM (
+    SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nq
+    FROM vecs) t
+  WHERE nq > 0),
 bands AS (
   SELECT vec_id,
          'b' || j || '|' ||
@@ -2596,12 +2671,14 @@ Q38_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
 norms AS (
-  SELECT vec_id, label, q,
-         list_sum(list_transform(q, x -> x * x)) AS nq,
-         CASE WHEN label % 3 = 0 THEN 'Occupation'
-              WHEN label % 3 = 1 THEN 'Skill'
-              ELSE 'Qualification' END AS entity_type
-  FROM vecs),
+  SELECT * FROM (
+    SELECT vec_id, label, q,
+           list_sum(list_transform(q, x -> x * x)) AS nq,
+           CASE WHEN label % 3 = 0 THEN 'Occupation'
+                WHEN label % 3 = 1 THEN 'Skill'
+                ELSE 'Qualification' END AS entity_type
+    FROM vecs) t
+  WHERE nq > 0),
 scored AS (
   SELECT a.vec_id AS entity_id, a.entity_type, b.vec_id AS tax_id,
          CAST(list_sum(list_transform(range(1, 65),
@@ -2743,7 +2820,8 @@ def q41_ir_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = topk.withColumn(
         "rel", (F.col("query_label") == F.col("candidate_label")).cast("int")
     )
-    nrel = _nrel_per_query(_quantized_vecs(spark, sf_dir))
+    # raw embeddings for the relevance pool — same rationale as q21
+    nrel = _nrel_per_query(load(spark, sf_dir, "embeddings"))
     dec = "decimal(18,12)"
     ks = spark.createDataFrame([(k,) for k in IR_K_GRID], "k int")
     fan = rel.crossJoin(F.broadcast(ks)).filter(F.col("rnk") <= F.col("k"))
@@ -2970,19 +3048,18 @@ def simhash_neardup_pairs(
     before the band join, so join fan-out is bounded by distinct-sketch
     bucket sizes regardless of how duplicate-heavy the corpus is."""
     groups = collapse_sketches(shh)
-    # Identical-sketch pairs are hamming-0 by definition: generated
-    # in-array (id_a < id_b via the sorted ids), no join at all. These are
-    # true result rows, so the emission is output-bound; at the scale where
-    # even the OUTPUT is intractable (1e6-dup groups => C(1e6,2) pairs) the
-    # cluster representation (q44) is the product, not pair enumeration.
-    intra = (
-        groups.filter(F.size("ids") >= 2)
-        .select(F.explode(_in_array_pairs(F.col("ids"))).alias("p"))
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+    # Identical-sketch pairs are hamming-0 by definition: streamed from the
+    # sorted id arrays (id_a < id_b via the sort), no join at all. These
+    # are true result rows, so the emission is output-bound — and because
+    # _pair_explode never materializes the C(n,2) pair array in one row, a
+    # 1e5-duplicate group streams its pairs at bounded task memory instead
+    # of OOMing (at the scale where even the OUTPUT is intractable —
+    # 1e6-dup groups => C(1e6,2) pairs — the cluster representation (q44)
+    # is the product, not pair enumeration).
+    intra = _pair_explode(groups.filter(F.size("ids") >= 2), "ids").select(
+        "id_a",
+        "id_b",
+        F.lit(0).cast("int").alias("hamming"),
     )
     # band buckets grouped ONCE over distinct sketches: the same grouped
     # pass yields the purge predicate (bucket size in DISTINCT hashes) AND
@@ -3011,11 +3088,14 @@ def simhash_neardup_pairs(
     # bands, so the dedupe fact is O(distinct near-dup hash pairs) — NOT
     # O(doc pairs x bands) as the pre-collapse formulation paid.
     rep_pairs = (
-        buckets.filter(
-            (F.size("hs") >= 2) & (F.size("hs") <= bucket_max)
+        _pair_explode(
+            buckets.filter(
+                (F.size("hs") >= 2) & (F.size("hs") <= bucket_max)
+            ),
+            "hs",
+            "ha",
+            "hb",
         )
-        .select(F.explode(_in_array_pairs(F.col("hs"), "ha", "hb")).alias("p"))
-        .select(F.col("p.ha").alias("ha"), F.col("p.hb").alias("hb"))
         .dropDuplicates(["ha", "hb"])
         .withColumn(
             "hamming",

@@ -99,7 +99,12 @@ def ensure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception as exc:  # non-runtime conf on some builds
             warnings.warn(f"could not set {k}={v}: {exc}", stacklevel=2)
-    ensure_checkpoint_dir(spark)
+    # NO ensure_checkpoint_dir here: only the checkpointing operators
+    # (connected_components / transitive_ancestors / _materialize_stage)
+    # actually need one, and they each call it themselves. Demanding a
+    # checkpoint dir at first table read would fail EVERY query — including
+    # plain scans/aggregations that never checkpoint — on a cluster session
+    # without SPARK_GRAFT_CHECKPOINT_DIR configured.
     spark.conf.set(marker, "true")
     return spark
 

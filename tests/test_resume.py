@@ -179,3 +179,73 @@ def test_partial_data_without_manifest_is_uncommitted(spark, tmp_path):
     assert committed.count() == 5
     assert store.is_committed("stage_x", "h1")
     assert sorted(r.v for r in store.read("stage_x").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_checkpoint_gc_reclaims_superseded_iterations(spark):
+    """Checkpoint hygiene proof (VERDICT r5 #4): the iterative CC loop
+    reliably checkpoints EVERY iteration's labels; with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true (session.py) each
+    superseded iteration's files must be deleted once its RDD is
+    unreachable — otherwise a long battery accumulates corpus-sized files
+    in the (tmpfs, in the bench harness) checkpoint dir for the whole
+    session lifetime. The distributed hash-min loop is forced via the
+    driver-stitch gate, a 400-node chain drives >= 3 pointer-doubled
+    iterations, and after dropping references the rdd-* checkpoint dirs
+    must return to (near) the pre-run count — bounded, not monotonic."""
+    import gc
+    import time
+    from pathlib import Path
+
+    from tabiya_livelihoods_classifier_spark.operators import clustering
+
+    ckpt = spark.sparkContext.getCheckpointDir()
+    assert ckpt is not None
+    root = Path(ckpt.removeprefix("file:"))
+
+    def rdd_dirs():
+        return {p for p in root.rglob("rdd-*") if p.is_dir()}
+
+    def run_cc_once():
+        edges = spark.createDataFrame(
+            [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(400)],
+            "id_a string, id_b string",
+        )
+        out = clustering.connected_components(edges)
+        comps = {r.component for r in out.collect()}
+        assert comps == {"n0000"}  # one chain, min-id representative
+
+    baseline = rdd_dirs()
+    old_probe = clustering._PROBE_ROWS
+    old_gate = clustering.DRIVER_STITCH_MAX_BYTES
+    clustering._PROBE_ROWS = 0
+    clustering.DRIVER_STITCH_MAX_BYTES = 0  # forces the distributed loop
+    try:
+        for _ in range(2):  # twice: growth must not compound across runs
+            run_cc_once()
+    finally:
+        clustering._PROBE_ROWS = old_probe
+        clustering.DRIVER_STITCH_MAX_BYTES = old_gate
+
+    after_run = rdd_dirs()
+    # the loop really checkpointed (>= 3 iterations x 2 runs + barriers),
+    # i.e. this test exercises accumulation before asserting reclaim
+    assert len(after_run - baseline) >= 6, (len(baseline), len(after_run))
+
+    # drop every reference, then force both collectors until the async
+    # ContextCleaner has deleted the superseded checkpoint dirs
+    deadline = time.time() + 60
+    residual = None
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        residual = rdd_dirs() - baseline
+        # one dir per run may linger (the final composed labels, released
+        # only on deeper GC cycles); the superseded ITERATION checkpoints
+        # (>= 4 per run) are what must be reclaimed
+        if len(residual) <= 2:
+            break
+        time.sleep(0.5)
+    assert residual is not None and len(residual) <= 2, (
+        f"{len(residual)} superseded checkpoint dirs not reclaimed "
+        f"(baseline {len(baseline)}, after run {len(after_run)})"
+    )
