@@ -17,16 +17,18 @@
       -> [7] hierarchy rollup     (ancestor closure with exp(-λ·d) kernel)
 
 Scale notes (the plan you'd want at 100 TB):
-  * Stage 2 makes exactly TWO passes over the turn corpus — the per-conv
-    metadata aggregate and the token explode+aggregate — each materialized
-    once behind a reliable-checkpoint barrier (see conversation_records'
-    `materialize` hook: their multiple consumers' differently-pruned
-    subtrees defeat exchange reuse, so without the barrier the corpus-wide
-    passes re-execute per consumer). Token document-frequency
-    stop-filtering is an aggregate whose result is bounded (tokens with
-    df>30% number at most ~3/0.3 per record on average), folded back in as
-    a broadcast 1-row array — the classic "broadcast tiny aggregate"
-    pattern.
+  * Stage 2 makes exactly ONE pass over the turn corpus: a single fused
+    groupBy(conv_id) aggregate carries each turn's distinct-token ARRAY
+    (never an exploded (conv, token) fact) plus the conversation metadata,
+    materialized once behind a parquet barrier (see conversation_records'
+    `materialize` hook: its consumers' differently-pruned subtrees defeat
+    exchange reuse, so without the barrier the corpus-wide pass would
+    re-execute per consumer). Per-token turn counts are run lengths over
+    the sorted in-row multiset (_token_runs) — CPU that scales, instead of
+    shuffle bytes that don't. Token document-frequency stop-filtering is an
+    aggregate whose result is bounded (tokens with df>30% number at most
+    ~3/0.3 per record on average), folded back in as a broadcast 1-row
+    array — the classic "broadcast tiny aggregate" pattern.
   * Stage 2b is THE scale lever on duplicate-heavy corpora: ER cost is
     quadratic in cluster size, so collapsing c exact copies shrinks pair
     generation + scoring + CC input by ~c². Cluster-level output is exactly
@@ -47,7 +49,7 @@ Scale notes (the plan you'd want at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tabiya_livelihoods_classifier_spark.config import ERConfig
@@ -108,6 +110,62 @@ def canonical_turns(turns: DataFrame) -> DataFrame:
 MAJORITY_TURN_FRACTION = 0.5
 
 
+def _run_starts(sorted_toks) -> Column:
+    """array<int> of the 1-based positions where a new run begins in a
+    SORTED token multiset array. `sorted_toks` must be a bound attribute
+    (the shingles() lesson: a raw expression tree re-evaluates per
+    element). try_element_at: ANSI mode (Spark 4 default) makes plain
+    element_at throw on the i-1 = 0 probe even though the OR disjunct never
+    consumes it — boolean operands are evaluated eagerly under vectorized
+    codegen. Guard the degenerate sequence: sequence(1, 0) steps BACKWARD
+    in Spark ([1, 0]), so an empty conversation must short-circuit."""
+    n = F.size(sorted_toks)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1)
+        | (
+            F.try_element_at(sorted_toks, i)
+            != F.try_element_at(sorted_toks, i - 1)
+        ),
+    )
+    return F.when(n == 0, F.array().cast("array<int>")).otherwise(starts)
+
+
+def _token_runs(sorted_toks, starts) -> Column:
+    """array<struct<token,cnt>> of run-length counts over a SORTED token
+    multiset array given its `_run_starts` positions — the in-array
+    replacement for the exploded (conv_id, token) -> count aggregate.
+    O(n + d) total per conversation (n = multiset size, d = distinct
+    tokens), all JVM expressions.
+
+    BOTH arguments must be bound attributes, and `starts` in particular
+    must be projected in a SEPARATE step: higher-order-function lambdas are
+    interpreted (no codegen, no common-subexpression elimination), so a raw
+    `starts` expression tree inlined here re-evaluates the O(n) filter for
+    EVERY run element — O(d*n) per row with O(d) sequence/filter array
+    allocations, a ~100x corpus-pass blowup measured at bench64. The
+    two-step projection survives Catalyst's CollapseProject because
+    `starts` is non-cheap and multiply referenced. The run-end positions
+    (starts shifted left, capped by n+1) are built ONCE per row as plain
+    zip_with arguments; only O(1) element_at probes live inside the
+    lambda."""
+    n = F.size(sorted_toks)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    runs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(sorted_toks, s).alias("token"),
+            (e - s).cast("int").alias("cnt"),
+        ),
+    )
+    empty = F.array().cast("array<struct<token:string,cnt:int>>")
+    return F.when(F.size(starts) == 0, empty).otherwise(runs)
+
+
 def conversation_records(
     canon: DataFrame,
     cfg: ERConfig = ERConfig(),
@@ -116,46 +174,71 @@ def conversation_records(
     materialize=None,
     token_source: DataFrame | None = None,
 ) -> DataFrame:
-    """Stage 2: one feature row per conversation.
+    """Stage 2: one feature row per conversation, built around ONE fused
+    corpus-wide aggregate.
 
-    `with_text=False` drops the record_text sorted-concat from the
-    per-conversation aggregate entirely (the ER path never reads it).
-    `token_source` optionally supplies the (conv_id, text) frame the token
-    explode reads instead of `canon` — er_pipeline passes the RAW turns:
+    Shape chosen for the memory-bandwidth roofline (BENCH/BASELINE.md): the
+    previous formulation exploded every turn's distinct tokens into a
+    (conv_id, token) fact — ~12x more rows than turns — then paid a wide
+    hash-aggregate + shuffle on (conv_id, token), a SECOND shuffle for the
+    per-conversation majority collect_set, a conv_id join to attach
+    n_turns, and THREE materialize barriers. This formulation ships each
+    turn's token array INTACT through a single groupBy(conv_id) shuffle
+    (one row per turn, ~4-5x fewer shuffled bytes than the exploded fact),
+    computes per-token turn counts IN-ARRAY as run lengths over the sorted
+    flattened multiset (_token_runs — pure JVM expressions, CPU that scales
+    where shuffle bandwidth does not), and fuses the conversation-metadata
+    aggregate (role_sig, n_turns, record_text) into the SAME groupBy — so
+    the whole records stage is ONE corpus-scale shuffle behind ONE barrier,
+    with no (conv,token)-granular exchange, no majority join, and no
+    second corpus aggregate. Measured at bench16: 2.1x faster at local[2]
+    and local[8] vs the exploded shape, identical output.
+
+    `with_text=False` drops the record_text sorted-concat from the fused
+    aggregate entirely (the ER path never reads it). `token_source`
+    optionally supplies the (conv_id, turn_idx, tool, text) frame the fused
+    aggregate reads instead of `canon` — er_pipeline passes the RAW turns:
     tokens() is invariant under canonicalize_text (every character class it
     rewrites — \\n \\r \\t and space runs — is inside the [^a-z0-9]+ split
-    class; pinned by test_canonicalize), so tokenizing upstream of the
-    canonicalization projection deletes the corpus-wide canonicalize regex
-    pass + string allocation from the pipeline's hottest branch.
-    `materialize` is an optional DataFrame -> DataFrame hook applied to the
-    three multi-consumer intermediates (per_conv, tok_counts, recs). They
-    are each consumed by 2-3 downstream branches whose column pruning makes
-    the exchange subtrees non-identical, so Spark's exchange reuse does NOT
-    deduplicate them — without materialization the corpus-wide token
-    explode+aggregate executes twice and the per-conversation aggregate
-    three times in one action (measured at bench16/local[8]: 92 s -> ~50 s
-    with a persist hook). Callers combining `materialize` with
-    `with_text=True` would materialize the corpus-sized text concat — pass
-    the hook only with `with_text=False`.
+    class; pinned by test_canonicalize), and role_sig/n_turns read tool/
+    turn_idx, which canonical_turns passes through unchanged (tool nulls
+    are excluded by the `tool != ''` predicate either way). record_text
+    must come from CANON text, so `with_text=True` + `token_source` is
+    rejected. `materialize` is an optional DataFrame -> DataFrame hook
+    applied to the fused aggregate (its 3-4 downstream consumers'
+    differently-pruned subtrees defeat exchange reuse).
 
     Signature tokens are selected by THREE frequency filters (all pure
-    aggregations, no Python):
+    expressions/aggregations, no Python):
 
-      * corpus-level turn DF: tokens occurring in > 10% of ALL turns are
-        boilerplate (prompt/template vocabulary) and dropped up front —
-        bounded aggregate folded back as an array literal.
-      * within-conversation strict majority: a token counts only if it occurs
-        in > 50% of the conversation's turns. Entity-identifying tokens
-        repeat every turn; per-turn template words and one-off typos do not.
-        (Analog of the reference's span extraction M5: isolate the entity
-        mention from surrounding prose.)
+      * corpus-level turn DF: tokens occurring in > 20% of ALL turns are
+        boilerplate (prompt/template vocabulary) — a bounded aggregate over
+        the exploded run structs (map-side-collapsing: vocabulary-sized
+        shuffle), folded back as a broadcast 1-row array.
+      * within-conversation strict majority: a token counts only if it
+        occurs in > 50% of the conversation's turns — a per-row filter over
+        the run counts, no join (n_turns lives on the same row).
       * cross-conversation document frequency: surviving tokens in > 30% of
         conversations are dropped (residual boilerplate safety net).
 
     Output: rid (=conv_id), record_text, role_sig, tokens (sorted, distinct),
     name_key (sorted tokens joined), embedding.
     """
+    if with_text and token_source is not None:
+        raise ValueError(
+            "with_text=True aggregates record_text from the canonicalized "
+            "turns; a separate token_source would concat RAW text — "
+            "tokenize the canon frame instead (token_source=None)."
+        )
     mat = materialize if materialize is not None else (lambda df: df)
+    src = token_source if token_source is not None else canon
+    per_turn = src.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        *(["text"] if with_text else []),
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+    )
     aggs = [
         F.array_join(
             F.array_sort(F.collect_set(F.when(F.col("tool") != "", F.col("tool")))),
@@ -164,10 +247,13 @@ def conversation_records(
         # size(collect_set) == count(distinct), but count(distinct) plans a
         # SECOND corpus-wide exchange keyed (conv_id, turn_idx) whose
         # partial aggregate reduces ~nothing ((conv, turn) is near-unique);
-        # the set dedupes inside the map-side buffer instead, so the only
-        # exchange carries one already-collapsed row per conversation.
-        # Bounded: a set holds at most the conversation's turn count.
+        # the set dedupes inside the map-side buffer instead. Bounded: a
+        # set holds at most the conversation's turn count.
         F.size(F.collect_set("turn_idx")).alias("n_turns"),
+        # the token MULTISET of the conversation, one distinct-token array
+        # per turn: multiset count of a token == number of turns containing
+        # it, exactly the n_tok_turns of the exploded formulation.
+        F.array_sort(F.flatten(F.collect_list("toks"))).alias("sorted_toks"),
     ]
     if with_text:
         aggs.insert(
@@ -180,73 +266,71 @@ def conversation_records(
                 " ",
             ).alias("record_text"),
         )
-    per_conv = mat(canon.groupBy("conv_id").agg(*aggs))
-    # no turn_idx in the exploded row: tok_counts only groups by
-    # (conv_id, token), and each turn contributes one row per distinct token
-    # either way — narrower rows through the corpus-wide explode+aggregate,
-    # the most bandwidth-bound path in the pipeline.
-    turn_tokens = (token_source if token_source is not None else canon).select(
+    fused = per_turn.groupBy("conv_id").agg(*aggs)
+    # runs computed in TWO separate projections so both sorted_toks and
+    # starts are bound attributes (see _token_runs: an inlined starts
+    # expression re-evaluates per element — the bench64 blowup); the
+    # barrier stores runs (distinct tokens + counts), not the raw
+    # multiset — fewer bytes per row through the parquet snapshot.
+    passthrough = [
         "conv_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
+        *(["record_text"] if with_text else []),
+        "role_sig",
+        "n_turns",
+    ]
+    fused = fused.select(
+        *passthrough,
+        "sorted_toks",
+        _run_starts(F.col("sorted_toks")).alias("starts"),
     )
-    # ONE wide aggregation over the exploded token stream: (conv, token) ->
-    # turn count. Everything downstream derives from this ~25x smaller
-    # table: the corpus turn-DF of a token is sum(n_tok_turns) (rows are
-    # distinct per (conv, turn, token)), so the stop-token aggregate reads
-    # tok_counts, NOT the 84M-row explode again, and the stop filter is a
-    # token-level anti-join on tok_counts (dropping a stop token after
-    # counting equals dropping it before — the count is per (conv, token)).
-    # Measured at bench16: removes a second full pass + an 84M-row
-    # anti-join from the records stage.
-    tok_counts = mat(
-        turn_tokens.groupBy("conv_id", "token").agg(
-            F.count("*").alias("n_tok_turns")
+    fused = mat(
+        fused.select(
+            *passthrough,
+            _token_runs(F.col("sorted_toks"), F.col("starts")).alias("runs"),
         )
     )
     # corpus boilerplate by turn document-frequency, FULLY DECLARATIVE: the
     # total-turn count is a broadcast 1-row aggregate and the stop set is a
-    # broadcast anti-join side — no driver collect()s, so the whole records
-    # stage is one DAG with no scheduler barriers between sub-aggregations.
-    # The count sums per_conv's per-conversation distinct-turn counts — the
-    # SAME value as a corpus-wide count_distinct(conv_id, turn_idx), minus
-    # one full extra scan+distinct-shuffle of the turns table (measured at
-    # bench64: a 32M-row pass). per_conv is consumed here, by the majority
-    # join, and by the records join — exchange reuse does NOT cover the
-    # three differently-pruned subtrees, hence the mat() hook above.
-    n_turns_total = per_conv.groupBy().agg(
+    # bounded aggregate folded back as a broadcast 1-row array — no driver
+    # collect()s. The explode here is of RUN STRUCTS (distinct tokens per
+    # conversation) feeding a token-keyed sum whose map-side partial
+    # collapses to vocabulary size — a tiny shuffle, not a corpus fact.
+    n_turns_total = fused.groupBy().agg(
         F.sum("n_turns").alias("n_turns_total")
     )
     turn_stop_df = (
-        tok_counts.groupBy("token")
-        .agg(F.sum("n_tok_turns").alias("tdf"))
+        fused.select(F.explode("runs").alias("r"))
+        .groupBy(F.col("r.token").alias("token"))
+        .agg(F.sum("r.cnt").alias("tdf"))
         .crossJoin(F.broadcast(n_turns_total))
         .filter(F.col("tdf") > TURN_STOP_DF * F.col("n_turns_total"))
         .select("token")
     )
-    majority = (
-        tok_counts.join(F.broadcast(turn_stop_df), "token", "left_anti")
-        # NO join hint: the (conv_id, n_turns) projection is small enough
-        # that AQE broadcast-joins it at bench scales (measured ~7% faster
-        # at local[8] than a forced shuffle_hash), and at corpus scales
-        # where it outgrows the broadcast ceiling AQE falls back to the
-        # shuffled strategies on actual sizes.
-        .join(per_conv.select("conv_id", "n_turns"), "conv_id")
-        .filter(F.col("n_tok_turns") > MAJORITY_TURN_FRACTION * F.col("n_turns"))
-        .groupBy("conv_id")
-        .agg(F.array_sort(F.collect_set("token")).alias("tokens_all"))
+    stop1_one_row = turn_stop_df.groupBy().agg(
+        F.collect_list("token").alias("stop1_arr")
     )
-    # NO shuffle_hash here: a left-outer SHJ must build the RIGHT side, and
-    # majority carries the collect_set token arrays — a corpus-sized hash
-    # relation (measured slower than letting the planner sort-merge it).
-    recs = mat(
-        per_conv.join(majority, "conv_id", "left").select(
-            F.col("conv_id").alias("rid"),
-            *(["record_text"] if with_text else []),
-            "role_sig",
-            F.coalesce(
-                F.col("tokens_all"), F.array().cast("array<string>")
-            ).alias("tokens_all"),
-        )
+    # majority filter + turn-stop subtraction, per row: a token enters the
+    # signature iff its turn count clears the strict majority AND it is not
+    # corpus boilerplate. Commutes with the old anti-join-then-filter order
+    # because the majority predicate is per-token independent. runs are
+    # sorted (inherited from sorted_toks), so tokens_all stays sorted.
+    empty_s = F.array().cast("array<string>")
+    recs = fused.crossJoin(F.broadcast(stop1_one_row)).select(
+        F.col("conv_id").alias("rid"),
+        *(["record_text"] if with_text else []),
+        "role_sig",
+        F.transform(
+            F.filter(
+                F.col("runs"),
+                lambda r: (
+                    r["cnt"] > MAJORITY_TURN_FRACTION * F.col("n_turns")
+                )
+                & ~F.array_contains(
+                    F.coalesce(F.col("stop1_arr"), empty_s), r["token"]
+                ),
+            ),
+            lambda r: r["token"],
+        ).alias("tokens_all"),
     )
     # cross-conversation stop tokens: same broadcast-aggregate pattern
     n_docs = recs.groupBy().agg(F.count("*").alias("n_docs"))
@@ -396,18 +480,42 @@ def signature_block_membership(
 
 def _materialize_stage(df: DataFrame) -> DataFrame:
     """Compute-once + lineage-truncating barrier for a multi-consumer
-    intermediate: persist so the reliable checkpoint's write job reads the
-    cache instead of recomputing the plan, checkpoint to truncate the
-    logical plan (downstream planning and cache lookups then walk a
-    LogicalRDD leaf, not the full upstream tree), then drop the cache —
-    consumers read the checkpoint files."""
+    intermediate, realized as a PARQUET snapshot under the session's
+    checkpoint root (durable shared storage on a cluster, tmpfs in the
+    bench harness).
+
+    Why parquet and not persist+checkpoint (the previous shape): an RDD
+    checkpoint costs compute -> cache write -> checkpoint-job cache read ->
+    lz4 row write -> per-consumer row read — every corpus-scale row crosses
+    memory ~4x, in a stage that is already memory-bandwidth-bound (the
+    binding constraint on N->4N scaling; BENCH/BASELINE.md). The parquet
+    barrier computes the plan ONCE inside the write job, stores
+    dictionary+RLE-compressed columns (the (conv_id, token, n) token-count
+    table compresses far below its row form), and — the part checkpoints
+    can never do — lets each consumer read ONLY its columns: the stop-token
+    aggregate scans (token, n_tok_turns) and never touches conv_id bytes.
+    Lineage truncation is identical (consumers plan against a fresh scan
+    leaf), durability is better (files survive executor loss by
+    construction), and the measured records stage moves strictly fewer
+    bytes per turn. Files are reclaimed at interpreter exit (the same
+    lifecycle the bench harness already wipes); a long-lived service should
+    point SPARK_GRAFT_CHECKPOINT_DIR at storage with a TTL policy."""
+    import atexit
+    import shutil
+    import uuid
+
     from tabiya_livelihoods_classifier_spark.session import ensure_checkpoint_dir
 
-    ensure_checkpoint_dir(df.sparkSession)
-    df = df.persist()
-    out = df.checkpoint(eager=True)
-    df.unpersist()
-    return out
+    spark = df.sparkSession
+    ensure_checkpoint_dir(spark)
+    root = spark.sparkContext.getCheckpointDir()
+    path = f"{root}/stage-{uuid.uuid4().hex}"
+    df.write.parquet(path)
+    if path.startswith(("file:", "/")):
+        atexit.register(
+            shutil.rmtree, path.removeprefix("file:"), ignore_errors=True
+        )
+    return spark.read.parquet(path)
 
 
 def er_pipeline(
@@ -426,8 +534,8 @@ def er_pipeline(
     membership/pairs/scored/edges are at SIGNATURE granularity (ids are
     sids); clusters is back at record granularity.
     """
-    # optional stage timing (bench decomposition): the three eager
-    # checkpoints make conversation_records() a synchronous corpus-scale
+    # optional stage timing (bench decomposition): the eager parquet
+    # barrier makes conversation_records() a synchronous corpus-scale
     # stage, and connected_components() runs its own eager barrier + probe,
     # so wall-clock around these calls attributes records vs tail honestly.
     import time as _time
@@ -449,11 +557,9 @@ def er_pipeline(
         # the ER stages never read record_text: with_text=False removes the
         # corpus-sized sorted-concat from the per-conversation aggregate
         with_text=False,
-        # persist the three multi-consumer intermediates (per_conv,
-        # tok_counts, recs): their consumers' differently-pruned subtrees
-        # defeat exchange reuse, so without this the corpus-wide token
-        # explode+aggregate runs twice and the per-conv aggregate three
-        # times (measured at bench16/local[8]: records stage 92 s -> ~50 s)
+        # materialize the fused multi-consumer aggregate: its consumers'
+        # differently-pruned subtrees defeat exchange reuse, so without the
+        # barrier the corpus-wide groupBy would run once per consumer
         materialize=_materialize_stage,
         # tokenize the raw turns, not the canonicalized projection: token
         # output is provably identical (see conversation_records docstring)
