@@ -36,6 +36,10 @@ def read_csv_defensive(
         spark.read.option("header", "true")
         .option("inferSchema", "false")  # strings only; casts are explicit
         .option("mode", "PERMISSIVE")
+        # RFC-4180 quote doubling ("" inside a quoted field), the dialect
+        # pandas/DuckDB emit and the reference's read_csv expects; Spark's
+        # default escape is backslash, which mis-parses doubled quotes.
+        .option("escape", '"')
         .csv(path)
     )
     if casts:

@@ -39,6 +39,100 @@ def normalize(rows, colnames):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def check_ingest(spark, con, sf_dir) -> list[str]:
+    """S1-S4 round-trip oracle check: write real corpus tables (plus one
+    deliberately gnarly synthetic frame) out as defensive-dialect CSV and
+    NDJSON, re-read them with read_csv_defensive / read_json_any, read the
+    SAME files with DuckDB's read_csv / read_json, and demand all three
+    (spark-reread, duckdb-reread, original) agree as value multisets.
+
+    Everything is string-cast BEFORE writing: the defensive readers are
+    string-typed by contract (S1, reference dtype=str keep_default_na=False),
+    and pre-casting keeps the comparison free of cross-engine literal
+    formatting (timestamps, decimals). Quoted-empty-string vs NULL is
+    engine-dependent CSV dialect (DuckDB allow_quoted_nulls) — that contract
+    is pinned in tests/test_sources.py, so the synthetic frame uses NULLs,
+    not empty strings."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tabiya_livelihoods_classifier_spark.sources.readers import (
+        read_csv_defensive,
+        read_json_any,
+    )
+
+    failures: list[str] = []
+    tmp = tempfile.mkdtemp(prefix="ingest-rt-")
+    try:
+        frames = {}
+        for tbl in ("nation", "customer", "events", "documents"):
+            src = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            frames[tbl] = src.select(
+                [F.col(c).cast("string").alias(c) for c in src.columns]
+            )
+        frames["gnarly"] = spark.createDataFrame(
+            [
+                ("1", 'he said "hi, there"', "a,b,c"),
+                ("2", None, "line with 'single' quotes"),
+                ("3", "unicode: éàß 中文 🚀", None),
+                ("4", "trailing space ", " leading space"),
+                ("5", "semi;colon\ttab", '""'),
+            ],
+            "id string, note string, extra string",
+        )
+        for tbl, s in frames.items():
+            csv_dir = f"{tmp}/{tbl}_csv"
+            json_dir = f"{tmp}/{tbl}_json"
+            # escape='"' = RFC-4180 quote doubling, the dialect both
+            # re-readers expect (see read_csv_defensive); whitespace
+            # trimming is a WRITER default (ignore*WhiteSpace=true) that
+            # silently mutates values — off, like the reference's to_csv
+            s.coalesce(4).write.option("header", "true").option(
+                "escape", '"'
+            ).option("ignoreLeadingWhiteSpace", "false").option(
+                "ignoreTrailingWhiteSpace", "false"
+            ).mode("overwrite").csv(csv_dir)
+            s.coalesce(4).write.mode("overwrite").json(json_dir)
+            cols = s.columns
+            want = normalize(s.collect(), cols)
+
+            got = {}
+            back_csv = read_csv_defensive(spark, csv_dir)
+            got["spark_csv"] = (back_csv.collect(), back_csv.columns)
+            # explicit all-string schema: a column that is null in every
+            # row is dropped by the JSON writer, so inference can't see it
+            schema = ", ".join(f"{c} string" for c in cols)
+            good, bad = read_json_any(spark, json_dir, schema=schema)
+            n_bad = bad.count()
+            if n_bad:
+                failures.append(f"ingest:{tbl}:json_corrupt({n_bad})")
+            got["spark_json"] = (good.collect(), good.columns)
+            rel = con.execute(
+                f"SELECT * FROM read_csv('{csv_dir}/*.csv', header=true, "
+                "all_varchar=true)"
+            )
+            got["duckdb_csv"] = (rel.fetchall(), [d[0] for d in rel.description])
+            colspec = ", ".join(f"'{c}': 'VARCHAR'" for c in cols)
+            rel = con.execute(
+                f"SELECT * FROM read_json('{json_dir}/*.json', "
+                f"format='newline_delimited', columns={{{colspec}}})"
+            )
+            got["duckdb_json"] = (rel.fetchall(), [d[0] for d in rel.description])
+
+            bad_paths = []
+            for path, (rows, rcols) in got.items():
+                if sorted(rcols) != sorted(cols) or normalize(rows, rcols) != want:
+                    bad_paths.append(path)
+            status = "OK" if not bad_paths else f"FAIL ({','.join(bad_paths)})"
+            print(f"{'ingest_rt_' + tbl:32s} rows={len(want):7d}x4 paths  {status}")
+            failures.extend(f"ingest:{tbl}:{p}" for p in bad_paths)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
 def main() -> int:
     argv = sys.argv[1:]
     bare = "--bare" in argv
@@ -109,6 +203,8 @@ def main() -> int:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 for x, y in diffs:
                     print(f"   spark:  {x}\n   oracle: {y}")
+    if not only:
+        failures.extend(check_ingest(spark, con, sf_dir))
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
