@@ -78,11 +78,20 @@ def _bounds_expr(cfg: ERConfig):
     return expr
 
 
+# Bounded-broadcast guard for the Arrow scorer: the taxonomy is collected
+# once on the driver and broadcast to every task, so it must stay dim-sized
+# (ESCO is ~1.4e4 rows; the cap allows 200k x 64 float64 ~ 100 MB). Above
+# it, use strategy="relational" (no collect, no broadcast) — and expect the
+# retrieval to need an ANN index, not exact scoring, at that vocabulary.
+LINK_TAX_MAX_ROWS = 200_000
+
+
 def link_entities(
     entities: DataFrame,
     taxonomy: DataFrame,
     cfg: ERConfig = ERConfig(),
     per_type_k: int | None = None,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Top-k taxonomy candidates per (entity, entity_type) above the type's
     cosine bound.
@@ -92,8 +101,35 @@ def link_entities(
     type's bound simply produce no candidates of that type.
     taxonomy: (tax_id, entity_type, label, embedding) — broadcast dim table.
     Returns (entity_id, entity_type, tax_id, label, sim, rnk).
-    """
+
+    Two physical strategies under one contract (M7's q20 pattern):
+    - "arrow" (default): the dim-sized taxonomy is broadcast as numpy
+      matrices (one per entity_type, rows pre-sorted tax_id-ascending) and
+      each Arrow batch of entities is scored with ONE BLAS matmul per type +
+      an in-batch exact top-k — the |entities| x |taxonomy| candidate set is
+      never materialized as rows, so there is no BroadcastNestedLoopJoin row
+      explosion to pay at 100x entity counts. Because every batch sees the
+      WHOLE taxonomy, the per-(entity, type) top-k is final inside the
+      batch: no downstream window, no shuffle at all past the scan.
+    - "relational": broadcast NLJ + per-row cosine_expr + window top-k —
+      keeps everything JVM-side with zero driver collects; the parity
+      reference for the arrow path (tests assert identical ids/ranks) and
+      the route for taxonomies above LINK_TAX_MAX_ROWS.
+
+    Rank parity: the arrow path ranks first and bound-filters after, the
+    relational path filters first — identical rnk values, because the bound
+    cuts a SUFFIX of the sim-descending order, so passing candidates always
+    occupy the same prefix positions. Ties break tax_id-ascending in both
+    (stable argsort over id-sorted columns == the window's tax_id ASC)."""
     k = per_type_k or cfg.top_k
+    if strategy == "relational":
+        return _link_entities_relational(entities, taxonomy, cfg, k)
+    return _link_entities_arrow(entities, taxonomy, cfg, k)
+
+
+def _link_entities_relational(
+    entities: DataFrame, taxonomy: DataFrame, cfg: ERConfig, k: int
+) -> DataFrame:
     joined = entities.crossJoin(
         F.broadcast(
             taxonomy.select(
@@ -115,6 +151,94 @@ def link_entities(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("entity_id", "entity_type", "tax_id", "label", "sim", "rnk")
+    )
+
+
+def _link_entities_arrow(
+    entities: DataFrame, taxonomy: DataFrame, cfg: ERConfig, k: int
+) -> DataFrame:
+    import numpy as np
+
+    spark = entities.sparkSession
+    e_t = dict(entities.dtypes)["entity_id"]
+    tax_dtypes = dict(taxonomy.dtypes)
+    out_schema = (
+        f"entity_id {e_t}, entity_type string, tax_id {tax_dtypes['tax_id']},"
+        f" label {tax_dtypes['label']}, sim double, rnk int"
+    )
+    tax_rows = taxonomy.select(
+        "tax_id", "entity_type", "label", "embedding"
+    ).limit(LINK_TAX_MAX_ROWS + 1).collect()
+    if len(tax_rows) > LINK_TAX_MAX_ROWS:
+        raise ValueError(
+            f"taxonomy exceeds LINK_TAX_MAX_ROWS={LINK_TAX_MAX_ROWS}; this "
+            "is no longer a dim table — use strategy='relational' (or an "
+            "ANN index) instead of a driver-collected broadcast."
+        )
+    if not tax_rows:
+        return spark.createDataFrame([], out_schema)
+    by_type: dict[str, list] = {}
+    for r in tax_rows:
+        by_type.setdefault(r.entity_type, []).append(r)
+    payload = {}
+    for et, rows in by_type.items():
+        # tax_id-ascending rows: a STABLE argsort on -sims then breaks
+        # float ties exactly like the relational window's tax_id ASC
+        rows.sort(key=lambda r: r.tax_id)
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        payload[et] = (
+            np.array([r.tax_id for r in rows], dtype=object),
+            np.array([r.label for r in rows], dtype=object),
+            mat,
+            nrm,
+        )
+    bounds = {et: float(b) for et, b in cfg.entity_bounds.items()}
+    bc = spark.sparkContext.broadcast((payload, bounds, int(k)))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        b_payload, b_bounds, kk = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            eids = pdf["entity_id"].to_numpy(dtype=object)
+            emat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            enrm = _np.sqrt(_np.einsum("ij,ij->i", emat, emat))
+            m = len(eids)
+            for et, (tids, tlabs, tmat, tnrm) in b_payload.items():
+                denom = enrm[:, None] * tnrm[None, :]
+                sims = emat @ tmat.T
+                # zero-norm on either side => sim 0.0, mirroring
+                # cosine_expr's otherwise(0.0) (and the zero-norm kNN
+                # parity rule: never let NaN order a ranking)
+                sims = _np.where(denom > 0, sims / _np.where(denom > 0, denom, 1.0), 0.0)
+                kept = min(kk, sims.shape[1])
+                top = _np.argsort(-sims, axis=1, kind="stable")[:, :kept]
+                s = _np.take_along_axis(sims, top, axis=1)
+                b = b_bounds.get(et, 0.0)
+                mask = (s >= b).ravel()
+                if not mask.any():
+                    continue
+                qi = _np.repeat(_np.arange(m), kept)
+                rnk = _np.tile(_np.arange(1, kept + 1), m)
+                ci = top.ravel()
+                yield _pd.DataFrame(
+                    {
+                        "entity_id": eids[qi][mask],
+                        "entity_type": et,
+                        "tax_id": tids[ci][mask],
+                        "label": tlabs[ci][mask],
+                        "sim": s.ravel()[mask],
+                        "rnk": rnk[mask],
+                    }
+                )
+
+    return entities.select("entity_id", "embedding").mapInPandas(
+        score, schema=out_schema
     )
 
 

@@ -110,6 +110,94 @@ def test_occupation_links_hit_gold_entity(enriched, spark, xs_corpus):
     assert hits >= 0.8 * len(top_occ), (hits, len(top_occ))
 
 
+def test_link_strategies_agree(enriched, spark):
+    """Arrow block-matmul vs relational NLJ+window: identical candidate
+    sets and ranks, sims equal to float tolerance (BLAS reorders the
+    64-term accumulation vs cosine_expr's left-to-right fold)."""
+    from tabiya_livelihoods_classifier_spark.data.taxonomy import (
+        taxonomy_spark,
+    )
+    from tabiya_livelihoods_classifier_spark.plans.linking import (
+        link_entities,
+        taxonomy_frame,
+    )
+
+    out, _ = enriched
+    reps = out["cluster_reps"]
+    taxonomy = taxonomy_frame(taxonomy_spark(spark, n_entities=12, seed=42))
+    a = {
+        (r.entity_id, r.entity_type, r.tax_id): (r.rnk, r.sim)
+        for r in link_entities(reps, taxonomy, per_type_k=4).collect()
+    }
+    b = {
+        (r.entity_id, r.entity_type, r.tax_id): (r.rnk, r.sim)
+        for r in link_entities(
+            reps, taxonomy, per_type_k=4, strategy="relational"
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for key, (rnk_a, sim_a) in a.items():
+        rnk_b, sim_b = b[key]
+        assert rnk_a == rnk_b, key
+        assert sim_a == pytest.approx(sim_b, abs=1e-9), key
+
+
+def test_arrow_link_plan_has_no_nlj(spark):
+    """The arrow path must not materialize the |entities| x |taxonomy|
+    candidate set as rows: no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere in the physical plan, and no exchange past the scan (the
+    in-batch top-k is final)."""
+    from tabiya_livelihoods_classifier_spark.data.taxonomy import (
+        taxonomy_spark,
+    )
+    from tabiya_livelihoods_classifier_spark.plans.linking import (
+        link_entities,
+        taxonomy_frame,
+    )
+
+    # a LEAF entities frame isolates the link operator's own plan (the
+    # records stage upstream of cluster_reps legitimately carries 1-row
+    # broadcast cross joins and its own exchanges): the whole link must be
+    # scan -> mapInPandas — no NLJ/cartesian row explosion, and no exchange
+    # at all, because the in-batch top-k is final
+    import pyspark.sql.functions as F
+
+    from tabiya_livelihoods_classifier_spark.functions.embed import embed_udf
+
+    taxonomy = taxonomy_frame(taxonomy_spark(spark, n_entities=12, seed=42))
+    leaf = spark.range(8).select(
+        F.col("id").cast("string").alias("entity_id"),
+        embed_udf(F.concat(F.lit("leaf "), F.col("id"))).alias("embedding"),
+    )
+    plan = (
+        link_entities(leaf, taxonomy, per_type_k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_arrow_link_tax_cap(enriched, spark):
+    from tabiya_livelihoods_classifier_spark.data.taxonomy import (
+        taxonomy_spark,
+    )
+    from tabiya_livelihoods_classifier_spark.plans import linking as L
+
+    out, _ = enriched
+    taxonomy = L.taxonomy_frame(taxonomy_spark(spark, n_entities=12, seed=42))
+    old = L.LINK_TAX_MAX_ROWS
+    L.LINK_TAX_MAX_ROWS = 2
+    try:
+        with pytest.raises(ValueError, match="relational"):
+            L.link_entities(out["cluster_reps"], taxonomy, per_type_k=4)
+    finally:
+        L.LINK_TAX_MAX_ROWS = old
+
+
 def test_rollup_depth_and_kernel(enriched):
     out, _ = enriched
     rows = out["rollup"].collect()
