@@ -704,8 +704,9 @@ Clusters produced (identical at both levels): {results[n_small]['clusters']}
 vs {results[n_big]['clusters']}.
 
 Stage decomposition of the fastest attempt per leg (records = the
-corpus-wide canonicalize/tokenize/aggregate stage behind the three
-checkpoint barriers; tail = signature collapse -> blocking -> scoring ->
+corpus-wide canonicalize/tokenize/aggregate stage — ONE fused
+groupBy(conv_id) shuffle with in-array run-length token counts behind one
+parquet-snapshot barrier; tail = signature collapse -> blocking -> scoring ->
 connected components; compose = the final record-level cluster join):
 
 | leg | records (s) | tail (s) | compose (s) |

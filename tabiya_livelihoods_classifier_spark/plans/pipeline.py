@@ -191,8 +191,9 @@ def conversation_records(
     aggregate (role_sig, n_turns, record_text) into the SAME groupBy — so
     the whole records stage is ONE corpus-scale shuffle behind ONE barrier,
     with no (conv,token)-granular exchange, no majority join, and no
-    second corpus aggregate. Measured at bench16: 2.1x faster at local[2]
-    and local[8] vs the exploded shape, identical output.
+    second corpus aggregate. Measured (pinned local[8],
+    tools/profile_records.py): records stage 91.3s at bench64 / 31.8s at
+    bench16 vs ~160s / ~50s for the exploded shape — identical output.
 
     `with_text=False` drops the record_text sorted-concat from the fused
     aggregate entirely (the ER path never reads it). `token_source`
