@@ -435,16 +435,43 @@ shing AS (
 """
 
 
+def _fanout_partitions(
+    spark: SparkSession, sf_dir: str, table: str, per_task_bytes: int = 8 << 20
+) -> int:
+    """Byte-adaptive fan-out for the single-row-group local test parquet:
+    one task per ~8 MB of source, clamped to the core count. At cluster
+    scale the source bytes dwarf cores x 8 MB so this is exactly
+    defaultParallelism (every core busy); at test scale it avoids
+    scheduling dozens of near-empty tasks per stage — with a 32-core
+    session and a 0.6 MB corpus, a fixed defaultParallelism fan-out made
+    EVERY downstream stage (stage write, lineage scan, grouped aggregates)
+    pay 32-96 task launches to move kilobytes."""
+    from pathlib import Path as _Path
+
+    src = _Path(sf_dir) / f"{table}.parquet"
+    nbytes = (
+        sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+        if src.is_dir()
+        else (src.stat().st_size if src.exists() else 0)
+    )
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, -(-nbytes // per_task_bytes)))
+
+
 def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group local parquet = 1 scan task; fan the corpus out so
     # the tokenize/shingle/minhash pipelines downstream use every core (at
     # real scale the input has thousands of splits and this shuffle of the
-    # raw docs is the cheapest exchange in the whole plan)
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    # raw docs is the cheapest exchange in the whole plan). Full core
+    # fan-out on purpose, NOT the byte-adaptive _fanout_partitions: this
+    # frame feeds the costliest CPU per input byte in the battery (regex
+    # tokenize -> shingle -> 16-permutation md5 minhash), and the staged
+    # shingle snapshot inherits this partitioning as its file count — a
+    # byte-proportional write collapsed it to ONE file at test scale and
+    # serialized every downstream md5 grind (q13 2.6x slower). The shuffle
+    # is placed AFTER the perturbation union so the write is cores files,
+    # not 3 x cores.
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     near = (
         docs.filter(F.col("doc_id") % 3 == 0)
         .select(
@@ -463,16 +490,38 @@ def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
     )
-    return docs.unionByName(near).unionByName(exact)
+    return (
+        docs.unionByName(near)
+        .unionByName(exact)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 def _with_shingles(corpus: DataFrame) -> DataFrame:
     # bind tokens to an attribute FIRST: inside shingles' transform lambda a
     # raw expression tree would be re-evaluated once per shingle index
     # (regexp split per slice — quadratic in tokens), an attribute is not.
-    return corpus.select(
-        "doc_id", "lang", tokens(F.col("text")).alias("ts")
-    ).select("doc_id", "lang", shingles(F.col("ts"), 3).alias("sh"))
+    #
+    # The staged frame carries sh PRE-SORTED plus the two per-doc scalars
+    # every q12 branch needs — n (shingle count) and ss (the set-signature
+    # md5) — so downstream consumers are pure column-pruned projections of
+    # the committed parquet: q12's per-doc stats frame needs NO persist +
+    # eager-count barrier of its own (one whole Spark job removed from the
+    # battery's critical path), and the sort/md5 CPU is paid once in the
+    # shared stage instead of once per consumer. Every consumer is
+    # order-insensitive (set ops, explode+min minhash), so the sort is free
+    # to impose here.
+    return (
+        corpus.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
+        .select("doc_id", "lang", F.array_sort(shingles(F.col("ts"), 3)).alias("sh"))
+        .select(
+            "doc_id",
+            "lang",
+            "sh",
+            F.size("sh").alias("n"),
+            F.md5(F.array_join("sh", "\x01")).alias("ss"),
+        )
+    )
 
 
 def _stage_store(spark: SparkSession):
@@ -502,7 +551,7 @@ def _shingled_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     is durable across executor loss."""
     from tabiya_livelihoods_classifier_spark.storage import params_hash
 
-    ph = params_hash("shingles_v1", str(sf_dir), _corpus_mtime(sf_dir), 3)
+    ph = params_hash("shingles_v2", str(sf_dir), _corpus_mtime(sf_dir), 3)
     stage = f"shingles_{ph}"
     store = _stage_store(spark)
     if store.is_committed(stage, ph):
@@ -572,9 +621,7 @@ def _pair_explode(
     )
 
 
-def _jaccard_pairs_plan(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame]]:
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shape chosen by measurement: the classic rare-shingle SELF-JOIN plan
     # (round 2) consumed the shingled corpus from 10 branches (10 full
     # tokenize+shingle passes) and pushed 2.7M join rows through 8
@@ -589,42 +636,49 @@ def _jaccard_pairs_plan(
     # shingles() emits distinct shingles per doc, so the group size IS the
     # doc frequency; sorted doc lists make pair order (id_a < id_b)
     # deterministic in-array.
-    # persist + eager count: TWO branches (cand pair-gen and the hot-set
-    # fold) consume this grouped frame inside one downstream action — AQE
-    # schedules those query stages concurrently, so without an eager
-    # materialization each would re-run the explode+groupBy. Spills to
-    # disk above memory, so the hint stays valid at corpus scale.
+    #
+    # The grouped doc-list frame has exactly ONE consumer (cand pair-gen):
+    # the hot-shingle set is derived from a SEPARATE count aggregate below,
+    # not by filtering this frame — so no persist + eager-count barrier is
+    # needed (the r5 shape paid a whole blocking Spark job here to share
+    # the frame between two branches; Catalyst can't exchange-reuse the two
+    # because column pruning gives them different aggregate outputs).
     bys = exploded.groupBy("s").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
-    ).persist()
-    bys.count()
+    )
     # the (tiny, bounded) hot-shingle set folded back as a broadcast 1-row
-    # aggregate — same pattern as the ER pipeline's stop-token array
-    hot_one = bys.filter(F.size("ds") > SHINGLE_DF_CAP).agg(
-        F.collect_list("s").alias("hot_g")
+    # aggregate — same pattern as the ER pipeline's stop-token array. Doc
+    # frequency comes from count(*), NOT size(collect_list): the count's
+    # partial aggregate combines map-side, so this branch's shuffle carries
+    # (shingle, long) — vocabulary-sized — instead of a second copy of the
+    # full doc-list shuffle.
+    hot_one = (
+        exploded.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .agg(F.collect_list("s").alias("hot_g"))
     )
     empty = F.array().cast("array<string>")
-    # per-doc stats need NO aggregation at all: total count, the doc's
-    # (tiny) hot-shingle array, and the set signature for the hot-only
-    # recovery path are all pure expressions over the shingle array.
-    # Empty shingle sets are excluded (Jaccard undefined — and md5("")
-    # must not pair all empty docs at 1.0).
-    # persisted for the same reason as bys: three consumers (the two sides
-    # of the pair join and the set-signature grouping) would otherwise each
-    # re-scan the staged parquet and re-run the md5/intersect expressions.
+    # per-doc stats need NO aggregation — and since the shared stage
+    # pre-computes n (shingle count) and ss (set-signature md5) on the
+    # committed parquet, NO persist/eager-count barrier either: each of the
+    # three consumers (the two sides of the pair join, the set-signature
+    # grouping) pays only a column-pruned scan of the tiny snapshot plus
+    # the hot-set intersect, and the identical broadcast-hot subtrees reuse
+    # one exchange. Empty shingle sets are excluded (Jaccard undefined —
+    # and md5("") must not pair all empty docs at 1.0).
     stats = (
-        sh.filter(F.size("sh") > 0)
+        sh.filter(F.col("n") > 0)
         .crossJoin(F.broadcast(hot_one))
         .select(
             "doc_id",
-            F.size("sh").alias("n"),
-            F.array_sort(
-                F.array_intersect("sh", F.coalesce("hot_g", empty))
-            ).alias("hot_arr"),
-            F.md5(F.array_join(F.array_sort("sh"), "\x01")).alias("ss"),
+            "n",
+            F.array_intersect("sh", F.coalesce("hot_g", empty)).alias(
+                "hot_arr"
+            ),
+            "ss",
         )
-    ).persist()
-    stats.count()
+    )
     # candidate pairs streamed per rare shingle: (ds[i], ds[j]) for i < j —
     # fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join, no materialized
     # pair array. The grouped count over them IS |rare(A) ∩ rare(B)|.
@@ -667,7 +721,8 @@ def _jaccard_pairs_plan(
     # building a C(1e5,2) array in one task — see _pair_explode).
     eq = (
         _pair_explode(
-            stats.groupBy("ss")
+            sh.filter(F.col("n") > 0)
+            .groupBy("ss")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
             .filter(F.size("ds") >= 2),
             "ds",
@@ -678,33 +733,29 @@ def _jaccard_pairs_plan(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    out = rare_pairs.unionByName(eq).dropDuplicates(["id_a", "id_b"])
-    return out, [bys, stats]
+    return rare_pairs.unionByName(eq).dropDuplicates(["id_a", "id_b"])
 
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged like q14 (_lsh_pairs_staged): the plan-build persists two
-    corpus-scale frames (bys/stats) with eager counts; committing the
-    result through the StageStore bounds that cost to ONE materialization
-    per (corpus, params) and lets the persists be released immediately —
-    previously they (and their MEMORY_AND_DISK spill) accumulated for the
-    session lifetime (r5 ADVICE)."""
+    """Staged like q14 (_lsh_pairs_staged): committing the result through
+    the StageStore bounds the pair computation to ONE materialization per
+    (corpus, params). The plan itself holds no persists and no eager
+    counts (r5 ADVICE asked for the leak fix; r6 removed the barriers
+    outright): per-doc stats (n/ss) live on the committed shingle snapshot
+    (_with_shingles), the hot-shingle set comes from a count aggregate
+    whose shuffle is vocabulary-sized, and the doc-list grouping has a
+    single consumer — the whole query is one Spark job plus the commit."""
     from tabiya_livelihoods_classifier_spark.storage import params_hash
 
     ph = params_hash(
-        "jaccard_pairs_v1", str(sf_dir), _corpus_mtime(sf_dir),
+        "jaccard_pairs_v2", str(sf_dir), _corpus_mtime(sf_dir),
         SHINGLE_DF_CAP, 0.5,
     )
     stage = f"jaccard_pairs_{ph}"
     store = _stage_store(spark)
     if store.is_committed(stage, ph):
         return store.read(stage)
-    plan, persisted = _jaccard_pairs_plan(spark, sf_dir)
-    try:
-        return store.commit(stage, plan, ph)
-    finally:
-        for df in persisted:
-            df.unpersist()
+    return store.commit(stage, _jaccard_pairs_plan(spark, sf_dir), ph)
 
 
 Q12_SQL = f"""
@@ -948,6 +999,8 @@ def _simhash_wide(corpus: DataFrame, nbits: int = 32) -> DataFrame:
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full core fan-out: token-hash simhash is CPU-bound per input byte
+    # (same rationale as _perturbed_corpus)
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1176,7 +1229,7 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the vectors across all cores: single-file scan = 1 task, and every
     # consumer streams these rows through dot-product crossJoins
     emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
+        _fanout_partitions(spark, sf_dir, "embeddings"), "vec_id"
     )
     q = F.transform(
         F.col("embedding"),
@@ -2270,7 +2323,7 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = (
         vecs.withColumn("nq", nq)
         .filter(F.col("nq") > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .repartition(_fanout_partitions(spark, sf_dir, "embeddings"), "vec_id")
     )
     band_keys = F.array(
         *[

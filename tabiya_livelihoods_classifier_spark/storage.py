@@ -51,6 +51,13 @@ def params_hash(*parts: object) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+# Commit-time lineage reads parquet footers on the driver (metadata only,
+# ~ms per file) up to this many output files; beyond it the commit falls
+# back to the distributed input_file_name aggregate. Bounds the driver
+# loop the same way KNN_NUMPY_MAX_ROWS bounds the exact-kNN collect.
+FOOTER_LINEAGE_MAX_FILES = 4096
+
+
 class StageStore:
     def __init__(self, spark: SparkSession, root: str | Path) -> None:
         self.spark = spark
@@ -98,29 +105,70 @@ class StageStore:
 
         committed = self.spark.read.parquet(str(final))
         # per-partition lineage: one row per output file (file == partition
-        # of the final write), computed distributed — no driver loop.
-        lineage = (
-            committed.select(F.input_file_name().alias("partition_file"))
-            .groupBy("partition_file")
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("params_hash", F.lit(phash))
+        # of the final write). Row counts come straight from the parquet
+        # FOOTERS the write just produced — metadata reads, no row scan, no
+        # Spark job (the r5 shape ran a data-wide input_file_name groupBy +
+        # a distributed lineage write + a summary scan: three whole jobs of
+        # pure overhead per commit). The driver loop is bounded by the
+        # output file count (== write partitions); above the gate a stage
+        # with pathologically many files falls back to the distributed
+        # aggregate so the driver never walks an unbounded listing.
+        data_files = sorted(
+            p for p in final.rglob("*.parquet") if p.is_file()
         )
         ldir = self.root / "_lineage"
         ldir.mkdir(exist_ok=True)
-        lineage.write.mode("overwrite").parquet(str(ldir / f"{stage}.parquet"))
-        # rows/n_files come off the WRITTEN lineage snapshot: one tiny scan
-        # of the per-file rows instead of re-running the data-wide lineage
-        # aggregate (n_files) plus a separate count job (rows).
-        summary = (
-            self.lineage(stage)
-            .agg(
-                F.sum("rows").alias("rows"), F.count("*").alias("n_files")
+        lpath = ldir / f"{stage}.parquet"
+        if len(data_files) <= FOOTER_LINEAGE_MAX_FILES:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            per_file = [
+                (str(p), pq.ParquetFile(p).metadata.num_rows)
+                for p in data_files
+            ]
+            # explicit schema: an empty commit (zero output files) must
+            # still publish a lineage snapshot Spark can read back.
+            table = pa.table(
+                {
+                    "partition_file": [f for f, _ in per_file],
+                    "rows": [r for _, r in per_file],
+                    "stage": [stage] * len(per_file),
+                    "params_hash": [phash] * len(per_file),
+                },
+                schema=pa.schema(
+                    [
+                        ("partition_file", pa.string()),
+                        ("rows", pa.int64()),
+                        ("stage", pa.string()),
+                        ("params_hash", pa.string()),
+                    ]
+                ),
             )
-            .collect()[0]
-        )
-        rows = int(summary["rows"] or 0)
-        n_files = summary["n_files"]
+            if lpath.exists():
+                shutil.rmtree(lpath, ignore_errors=True)
+            lpath.mkdir(parents=True, exist_ok=True)
+            pq.write_table(table, lpath / "part-00000.parquet")
+            rows = int(sum(r for _, r in per_file))
+            n_files = len(per_file)
+        else:
+            lineage = (
+                committed.select(F.input_file_name().alias("partition_file"))
+                .groupBy("partition_file")
+                .agg(F.count("*").alias("rows"))
+                .withColumn("stage", F.lit(stage))
+                .withColumn("params_hash", F.lit(phash))
+            )
+            lineage.write.mode("overwrite").parquet(str(lpath))
+            summary = (
+                self.lineage(stage)
+                .agg(
+                    F.sum("rows").alias("rows"), F.count("*").alias("n_files")
+                )
+                .collect()[0]
+            )
+            rows = int(summary["rows"] or 0)
+            n_files = summary["n_files"]
 
         mdir = self.root / "_metrics"
         mdir.mkdir(exist_ok=True)

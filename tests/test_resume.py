@@ -215,29 +215,52 @@ def test_checkpoint_gc_reclaims_superseded_iterations(spark):
         assert comps == {"n0000"}  # one chain, min-id representative
 
     baseline = rdd_dirs()
+    # "the loop really checkpointed" is proven by a spy on the checkpoint
+    # call itself, NOT by counting surviving rdd-* dirs after the runs:
+    # when the suite runs with a memory-pressured JVM, natural GC lets the
+    # ContextCleaner reclaim superseded iteration checkpoints WHILE the
+    # loop is still running — the exact behavior under test — so a
+    # surviving-dir count is racy against the feature working correctly.
+    try:  # Spark 4: the runtime class overrides checkpoint, patch IT
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover - Spark 3 fallback
+        from pyspark.sql import DataFrame as _DF
+
+    checkpoint_calls = []
+    orig_checkpoint = _DF.checkpoint
+
+    def spy_checkpoint(self, eager=True):
+        checkpoint_calls.append(eager)
+        return orig_checkpoint(self, eager=eager)
+
     old_probe = clustering._PROBE_ROWS
     old_gate = clustering.DRIVER_STITCH_MAX_BYTES
     clustering._PROBE_ROWS = 0
     clustering.DRIVER_STITCH_MAX_BYTES = 0  # forces the distributed loop
+    _DF.checkpoint = spy_checkpoint
     try:
         for _ in range(2):  # twice: growth must not compound across runs
             run_cc_once()
     finally:
+        _DF.checkpoint = orig_checkpoint
         clustering._PROBE_ROWS = old_probe
         clustering.DRIVER_STITCH_MAX_BYTES = old_gate
 
     after_run = rdd_dirs()
-    # the loop really checkpointed (>= 3 iterations x 2 runs + barriers),
-    # i.e. this test exercises accumulation before asserting reclaim
-    assert len(after_run - baseline) >= 6, (len(baseline), len(after_run))
+    # >= 3 barrier checkpoints + >= 1 loop iteration per run: the test
+    # exercised real accumulation pressure before asserting reclaim
+    assert len(checkpoint_calls) >= 8, checkpoint_calls
 
     # drop every reference, then force both collectors until the async
-    # ContextCleaner has deleted the superseded checkpoint dirs
-    deadline = time.time() + 60
+    # ContextCleaner has deleted the superseded checkpoint dirs (generous
+    # deadline: py4j finalizers + the JVM reference queue + the cleaner
+    # thread are all asynchronous, and a loaded host can stretch each hop)
+    deadline = time.time() + 150
     residual = None
     while time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        spark.sparkContext._jvm.System.runFinalization()
         residual = rdd_dirs() - baseline
         # one dir per run may linger (the final composed labels, released
         # only on deeper GC cycles); the superseded ITERATION checkpoints
