@@ -975,16 +975,32 @@ def _simhash_wide(corpus: DataFrame, nbits: int = 32) -> DataFrame:
     32-column row per doc per mapper. The naive shape — crossJoin with a
     32-row k table — re-hashes every token 32x and shuffles a 32x-exploded
     fact; this shape survives a 100x scale-up, that one doesn't.
+
+    Bit extraction parses the leading 15 hex chars into ONE bigint per
+    token instance (a single conv), then each of the nbits sums is a pure
+    integer shift/mask — the previous shape ran a per-bit
+    substring+conv+cast string pipeline, i.e. nbits string parses per
+    token. Bit k lives at shift 4*(14 - k//4) + k%4: hex digit k//4 is
+    big-endian within the parsed number, bit k%4 is the digit's LSB-first
+    bit — exactly the oracle's strpos/shift formula, so sketches are
+    bit-identical.
     """
+    assert nbits <= 60  # 15 hex chars -> one sign-safe bigint
     toks = corpus.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
-    ).select("doc_id", F.md5("token").alias("hx"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("num"),
+    )
     aggs = [
         F.sum(
-            F.expr(
-                f"2 * (shiftright(cast(conv(substring(hx, {k // 4 + 1}, 1), 16, 10)"
-                f" as int), {k % 4}) % 2) - 1"
-            )
+            F.shiftright(F.col("num"), 4 * (14 - k // 4) + k % 4)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+            * 2
+            - 1
         ).alias(f"s{k}")
         for k in range(nbits)
     ]

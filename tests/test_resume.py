@@ -272,3 +272,43 @@ def test_checkpoint_gc_reclaims_superseded_iterations(spark):
         f"{len(residual)} superseded checkpoint dirs not reclaimed "
         f"(baseline {len(baseline)}, after run {len(after_run)})"
     )
+
+def test_footer_and_distributed_lineage_agree(spark, tmp_path, monkeypatch):
+    """StageStore.commit computes per-partition lineage from parquet
+    footers when the output file count is within FOOTER_LINEAGE_MAX_FILES,
+    and from a distributed input_file_name aggregate above it. Both paths
+    must publish the SAME snapshot (file set, per-file rows, totals) — the
+    fallback is a scale valve, not a different contract."""
+    from tabiya_livelihoods_classifier_spark import storage
+
+    df = (
+        spark.range(1000)
+        .selectExpr("id", "id % 7 AS k", "md5(cast(id as string)) AS payload")
+        .repartition(5, "k")
+    )
+
+    footer_store = StageStore(spark, tmp_path / "footer")
+    footer_store.commit("s", df, "ph1")
+
+    monkeypatch.setattr(storage, "FOOTER_LINEAGE_MAX_FILES", 0)
+    dist_store = StageStore(spark, tmp_path / "dist")
+    dist_store.commit("s", df, "ph1")
+
+    def snapshot(store):
+        lin = sorted(
+            # part index only: the writer UUID in the basename differs
+            # between the two (independent) commits
+            (r.partition_file.rsplit("/", 1)[-1].split("-")[1],
+             r.rows, r.stage, r.params_hash)
+            for r in store.lineage("s").collect()
+        )
+        mf = store.manifest("s")
+        return lin, mf["rows"], mf["n_files"]
+
+    f_lin, f_rows, f_files = snapshot(footer_store)
+    d_lin, d_rows, d_files = snapshot(dist_store)
+    assert f_rows == d_rows == 1000
+    assert f_files == d_files == len(f_lin)
+    assert f_lin == d_lin
+    # committed data identical and re-readable through both stores
+    assert footer_store.read("s").count() == dist_store.read("s").count() == 1000
