@@ -173,6 +173,8 @@ def conversation_records(
     with_text: bool = True,
     materialize=None,
     token_source: DataFrame | None = None,
+    frozen_stops: tuple[DataFrame, DataFrame] | None = None,
+    vocab_out: dict | None = None,
 ) -> DataFrame:
     """Stage 2: one feature row per conversation, built around ONE fused
     corpus-wide aggregate.
@@ -224,6 +226,18 @@ def conversation_records(
 
     Output: rid (=conv_id), record_text, role_sig, tokens (sorted, distinct),
     name_key (sorted tokens joined), embedding.
+
+    Incremental hooks (streaming/incremental_er.py): `frozen_stops` is a
+    pair of 1-row DataFrames ((stop1_arr), (stop_arr)) — typically read back
+    from a committed ER state — that REPLACE the two corpus-global stop-set
+    aggregates, so a delta batch is canonicalized under the base corpus's
+    vocabulary (exactness of the frozen-vocabulary fast path is then
+    certified by the caller's drift check, not assumed). `vocab_out`, when
+    a dict, receives the lazy vocabulary aggregates of THIS input —
+    turn_df (token, tdf), n_turns_total (1 row), record_df (token, df),
+    n_records (1 row), stop1/stop (the 1-row stop frames actually used) —
+    letting the caller combine base + delta document frequencies exactly
+    without a second pass over the turns.
     """
     if with_text and token_source is not None:
         raise ValueError(
@@ -299,17 +313,22 @@ def conversation_records(
     n_turns_total = fused.groupBy().agg(
         F.sum("n_turns").alias("n_turns_total")
     )
-    turn_stop_df = (
+    turn_df = (
         fused.select(F.explode("runs").alias("r"))
         .groupBy(F.col("r.token").alias("token"))
         .agg(F.sum("r.cnt").alias("tdf"))
-        .crossJoin(F.broadcast(n_turns_total))
-        .filter(F.col("tdf") > TURN_STOP_DF * F.col("n_turns_total"))
-        .select("token")
     )
-    stop1_one_row = turn_stop_df.groupBy().agg(
-        F.collect_list("token").alias("stop1_arr")
-    )
+    if frozen_stops is not None:
+        stop1_one_row = frozen_stops[0].select("stop1_arr")
+    else:
+        turn_stop_df = (
+            turn_df.crossJoin(F.broadcast(n_turns_total))
+            .filter(F.col("tdf") > TURN_STOP_DF * F.col("n_turns_total"))
+            .select("token")
+        )
+        stop1_one_row = turn_stop_df.groupBy().agg(
+            F.collect_list("token").alias("stop1_arr")
+        )
     # majority filter + turn-stop subtraction, per row: a token enters the
     # signature iff its turn count clears the strict majority AND it is not
     # corpus boilerplate. Commutes with the old anti-join-then-filter order
@@ -335,20 +354,34 @@ def conversation_records(
     )
     # cross-conversation stop tokens: same broadcast-aggregate pattern
     n_docs = recs.groupBy().agg(F.count("*").alias("n_docs"))
-    common_df = (
+    record_df = (
         recs.select(F.explode("tokens_all").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > STOP_TOKEN_DF * F.col("n_docs"))
-        .select(F.col("token").alias("stop_token"))
     )
-    # fold the (bounded, tiny) stop set back in as a scalar-subquery-style
-    # cross join of a 1-row aggregate (global agg always yields exactly one
-    # row, empty stop set -> empty array)
-    stop_one_row = common_df.groupBy().agg(
-        F.collect_list("stop_token").alias("stop_arr")
-    )
+    if frozen_stops is not None:
+        stop_one_row = frozen_stops[1].select("stop_arr")
+    else:
+        common_df = (
+            record_df.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") > STOP_TOKEN_DF * F.col("n_docs"))
+            .select(F.col("token").alias("stop_token"))
+        )
+        # fold the (bounded, tiny) stop set back in as a scalar-subquery-
+        # style cross join of a 1-row aggregate (global agg always yields
+        # exactly one row, empty stop set -> empty array)
+        stop_one_row = common_df.groupBy().agg(
+            F.collect_list("stop_token").alias("stop_arr")
+        )
+    if vocab_out is not None:
+        vocab_out.update(
+            turn_df=turn_df,
+            n_turns_total=n_turns_total,
+            record_df=record_df,
+            n_records=n_docs,
+            stop1=stop1_one_row,
+            stop=stop_one_row,
+        )
     recs = (
         recs.crossJoin(F.broadcast(stop_one_row))
         .withColumn(
@@ -458,25 +491,38 @@ def signature_block_membership(
     fragmented them into 6247 at bench32; residual-mass yields 1774
     clusters at bench32 with sampled pairwise precision 1.0 and
     F1 0.99995.)"""
-    bands = sig.select(
-        F.explode(
-            minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows)
-        ).alias("block_key"),
-        F.col("sid").alias("rid"),
-        F.col("n_members").alias("mass"),
-    )
-    comps = sig.select(
-        F.explode(F.col("role_sigs")).alias("rs"), "sid", "tokens"
-    ).select(
-        composite_key(F.col("rs.role_sig"), F.col("tokens")).alias("block_key"),
-        F.col("sid").alias("rid"),
-        F.col("rs.rs_n").alias("mass"),
-    )
-    membership = bands.unionByName(comps)
+    membership = signature_block_membership_raw(sig, cfg, id_col="sid")
     membership = purge_oversized_by_mass(
         membership, cfg.purge_block_size, "mass"
     )
     return cap_block_size(membership.select("block_key", "rid"), cfg.max_block_size)
+
+
+def signature_block_membership_raw(
+    sig: DataFrame, cfg: ERConfig = ERConfig(), id_col: str = "sid"
+) -> DataFrame:
+    """UNPURGED (block_key, rid, mass) membership of a signature frame —
+    the shared candidate-key generator behind signature_block_membership
+    (which purges + salts it) and the incremental updater (which must
+    re-evaluate the purge decision on base + delta masses combined, so it
+    needs the raw rows). `id_col` selects which signature column becomes
+    the membership `rid` (sid for the batch pipeline, the stable skey for
+    the incremental state)."""
+    bands = sig.select(
+        F.explode(
+            minhash_band_keys(F.col("tokens"), cfg.num_hashes, cfg.band_rows)
+        ).alias("block_key"),
+        F.col(id_col).alias("rid"),
+        F.col("n_members").alias("mass"),
+    )
+    comps = sig.select(
+        F.explode(F.col("role_sigs")).alias("rs"), id_col, "tokens"
+    ).select(
+        composite_key(F.col("rs.role_sig"), F.col("tokens")).alias("block_key"),
+        F.col(id_col).alias("rid"),
+        F.col("rs.rs_n").alias("mass"),
+    )
+    return bands.unionByName(comps)
 
 
 def _materialize_stage(df: DataFrame) -> DataFrame:

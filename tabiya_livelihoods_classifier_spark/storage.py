@@ -190,8 +190,13 @@ class StageStore:
 
     def lineage(self, stage: str | None = None) -> DataFrame:
         base = self.root / "_lineage"
-        path = base / f"{stage}.parquet" if stage else base
-        return self.spark.read.parquet(str(path))
+        if stage:
+            return self.spark.read.parquet(str(base / f"{stage}.parquet"))
+        # whole-store read: per-stage snapshots are sibling DIRECTORIES, not
+        # hive partitions, so plain directory listing won't descend
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            str(base)
+        )
 
     def metrics(self) -> list[dict]:
         mdir = self.root / "_metrics"

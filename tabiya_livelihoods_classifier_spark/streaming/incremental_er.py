@@ -1,0 +1,684 @@
+"""Incremental entity resolution: merge a delta batch of transcripts into a
+committed ER state without recomputing the corpus (SURVEY §2.9; north rule
+"resumes from the last committed snapshot/checkpoint").
+
+The batch pipeline (plans/pipeline.er_pipeline) is a pure function of the
+whole corpus, but three of its stages read CORPUS-GLOBAL aggregates, so a
+naive "run the pipeline on the delta and union" is wrong:
+
+  * the two stop-token sets (turn-DF boilerplate, record-DF boilerplate)
+    are vocabulary aggregates over ALL turns/records;
+  * block purging weighs every block by the residual record mass of its
+    COMBINED membership;
+  * cluster representatives are min-rid over the COMBINED component.
+
+This module makes the update exact anyway, by storing exactly the
+aggregates those decisions read and re-deriving each decision on
+base ⊕ delta:
+
+  1. **Frozen vocabulary + drift certificate.** Delta records are built
+     with the base corpus's stop sets (conversation_records(frozen_stops=…)),
+     and the module PROVES this equals the full recompute by combining the
+     stored (token → document-frequency) aggregates with the delta's and
+     checking that no token crosses either stop threshold in the combined
+     corpus. Both checks are vocabulary-sized joins. If any token drifts,
+     the update refuses (StopSetDriftError) and the caller runs a
+     compaction (commit_er_state on the combined corpus) — the fast path
+     never silently diverges.
+  2. **Monotone purging.** Residual block mass (sum − max over signature
+     masses) is non-decreasing under new members, so a block purged in the
+     base state stays purged — stored purged keys are final. Kept blocks
+     touched by the delta are re-weighed exactly from the stored
+     per-(block, signature) masses plus the delta's.
+  3. **Block-local rescore set.** R = every signature that shares a
+     touched block with a changed/new signature (plus the changed/new
+     signatures themselves). All candidate pairs with BOTH endpoints in R
+     are regenerated from the combined membership of R-adjacent blocks and
+     rescored; base edges with at most one endpoint in R are provably
+     identical to what the full recompute would produce (any block that
+     could generate or re-support such a pair contains both endpoints and
+     would have put them in R). Work is proportional to the delta's block
+     neighborhood, not the corpus.
+  4. **Component-local re-clustering.** Only components containing an R
+     member can change; connected components re-runs on that subgraph
+     (updated edges restricted to affected components, plus new
+     signatures); every other (rid, component) row passes through.
+
+Signature identity across generations is the STABLE key
+skey = sha2(name_key) — a signature's sid (min member rid) can change when
+a delta record with a smaller rid joins it, so sid cannot key stored
+membership/edges. Final cluster representatives are recomputed as
+min(sid) per component, matching er_pipeline's min-rid contract exactly.
+
+Storage model (ERStateStore over storage.StageStore — every stage commit
+publishes per-partition lineage + metrics, the snapshot/lineage contract
+of the batch pipeline): signature-granularity stages (signatures,
+membership, purged keys, edges, signature clusters, vocabulary, totals,
+stop sets) are rewritten per generation — they are 2-3 orders of magnitude
+smaller than the corpus (plans/pipeline.py stage 2b). The two
+CORPUS-granularity stages are never rewritten: `records` is append-only
+(a conversation's record is immutable; reading the state folds the union
+of all generations), and `clusters` is an LSM-style overlay chain — each
+generation stores only the affected components' rows plus the list of
+replaced base representatives, and the read folds base ∖ replaced ∪
+overlay per generation, with compact() squashing the chain. On Iceberg
+(the production target this sandbox stands in for), the signature stages
+would be MERGE INTO / merge-on-read instead of rewrite; the layered
+clusters read is exactly an Iceberg positional-delete fold.
+
+Scale notes (100 TB): the delta path scans the base corpus-sized stages
+only twice — the membership index (two equi-joins: R discovery, then
+R-adjacent block expansion) and the records stage (one semi-join at final
+compose, restricted to affected components). Both are single shuffles of a
+signature-granularity and a corpus-granularity table respectively per
+delta BATCH, so deltas should be batched (hourly/daily), not per-row; an
+Iceberg deployment additionally prunes both scans with bloom/min-max
+metadata on block_key / component.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tabiya_livelihoods_classifier_spark.config import ERConfig
+from tabiya_livelihoods_classifier_spark.functions.embed import embed_udf
+from tabiya_livelihoods_classifier_spark.operators.blocking import (
+    candidate_pairs,
+    cap_block_size,
+)
+from tabiya_livelihoods_classifier_spark.operators.clustering import (
+    connected_components,
+)
+from tabiya_livelihoods_classifier_spark.operators.scoring import (
+    match_edges,
+    score_pairs,
+)
+from tabiya_livelihoods_classifier_spark.plans.pipeline import (
+    STOP_TOKEN_DF,
+    TURN_STOP_DF,
+    _materialize_stage,
+    conversation_records,
+    signature_block_membership_raw,
+    signature_records,
+)
+from tabiya_livelihoods_classifier_spark.storage import (
+    StageStore,
+    _atomic_write_json,
+    params_hash,
+)
+
+
+class StopSetDriftError(RuntimeError):
+    """The delta moved at least one token across a stop-DF threshold in the
+    combined corpus: the frozen-vocabulary fast path would diverge from the
+    full recompute, so the update refuses. Run a compaction
+    (commit_er_state on the combined corpus) instead."""
+
+    def __init__(self, drifted: list[str]):
+        self.drifted = drifted
+        super().__init__(
+            "stop-set drift on tokens "
+            f"{drifted[:10]}{'…' if len(drifted) > 10 else ''}: "
+            "incremental update would diverge from full recompute; "
+            "recommit the combined corpus (compaction)."
+        )
+
+
+def _skey() -> F.Column:
+    return F.sha2(F.col("name_key"), 256)
+
+
+class ERStateStore:
+    """Generation-versioned ER state on top of StageStore.
+
+    Stage names carry the generation (``er_g{n}_…``); ``er_state.json`` at
+    the root is the atomically-updated pointer to the current generation,
+    so a crashed update never publishes a half-written generation — readers
+    follow the pointer, and every stage under it was committed through
+    StageStore's atomic rename (torn-write safe, with lineage + metrics).
+    """
+
+    def __init__(self, spark: SparkSession, root: str | Path) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.store = StageStore(spark, self.root)
+
+    # -- pointer -----------------------------------------------------------
+    def _pointer(self) -> Path:
+        return self.root / "er_state.json"
+
+    def state(self) -> dict:
+        p = self._pointer()
+        if not p.exists():
+            raise FileNotFoundError(f"no committed ER state under {self.root}")
+        return json.loads(p.read_text())
+
+    def exists(self) -> bool:
+        return self._pointer().exists()
+
+    def generation(self) -> int:
+        return self.state()["generation"]
+
+    def _publish(self, meta: dict) -> None:
+        _atomic_write_json(self._pointer(), meta)
+
+    # -- stage io ----------------------------------------------------------
+    def _name(self, gen: int, part: str) -> str:
+        return f"er_g{gen}_{part}"
+
+    def commit_part(self, gen: int, part: str, df: DataFrame, ph: str) -> DataFrame:
+        return self.store.commit(self._name(gen, part), df, ph)
+
+    def read_part(self, gen: int, part: str) -> DataFrame:
+        return self.store.read(self._name(gen, part))
+
+    # -- logical (layered) reads ------------------------------------------
+    def records(self) -> DataFrame:
+        """Append-only fold: the union of every generation's record stage."""
+        st = self.state()
+        out = self.read_part(0, "records")
+        for g in range(1, st["generation"] + 1):
+            out = out.unionByName(self.read_part(g, "records"))
+        return out
+
+    def clusters(self) -> DataFrame:
+        """LSM fold of the record-level clusters: base ∖ replaced-reps ∪
+        overlay, applied generation by generation."""
+        st = self.state()
+        out = self.read_part(0, "clusters")
+        for g in range(1, st["generation"] + 1):
+            replaced = self.read_part(g, "replaced_reps")
+            overlay = self.read_part(g, "clusters")
+            out = out.join(
+                replaced, F.col("component") == F.col("rep"), "left_anti"
+            ).unionByName(overlay)
+        return out
+
+    def signatures(self) -> DataFrame:
+        return self.read_part(self.generation(), "signatures")
+
+    def membership(self) -> DataFrame:
+        return self.read_part(self.generation(), "membership")
+
+    def purged(self) -> DataFrame:
+        return self.read_part(self.generation(), "purged")
+
+    def edges(self) -> DataFrame:
+        return self.read_part(self.generation(), "edges")
+
+    def sig_clusters(self) -> DataFrame:
+        return self.read_part(self.generation(), "sig_clusters")
+
+
+def _vocab_stages(store: ERStateStore, gen: int, vocab: dict, ph: str) -> None:
+    store.commit_part(gen, "vocab_turns", vocab["turn_df"], ph)
+    store.commit_part(gen, "vocab_records", vocab["record_df"], ph)
+    store.commit_part(
+        gen,
+        "totals",
+        vocab["n_turns_total"].crossJoin(
+            vocab["n_records"].select(F.col("n_docs").alias("n_records"))
+        ),
+        ph,
+    )
+    store.commit_part(
+        gen, "stops", vocab["stop1"].crossJoin(vocab["stop"]), ph
+    )
+
+
+def commit_er_state(
+    spark: SparkSession,
+    store: ERStateStore,
+    turns: DataFrame,
+    cfg: ERConfig = ERConfig(),
+) -> dict:
+    """Run the full batch pipeline and commit generation 0 (or a
+    compaction: a fresh generation-0 state replacing the overlay chain).
+
+    Cluster output is IDENTICAL to plans/pipeline.er_pipeline (same stage
+    functions, with membership/edges keyed by the stable skey instead of
+    sid; partitions and min-rid representatives are unchanged — min over
+    sids per component equals min over rids)."""
+    ph = params_hash("er_state_v1", cfg.num_hashes, cfg.band_rows,
+                     cfg.purge_block_size, cfg.max_block_size,
+                     cfg.min_common_blocks, cfg.match_threshold)
+    vocab: dict = {}
+    records = conversation_records(
+        turns,
+        cfg,
+        embed=False,
+        with_text=False,
+        materialize=_materialize_stage,
+        token_source=turns,
+        vocab_out=vocab,
+    ).select("rid", "role_sig", "name_key")
+    records = records.persist()
+    sig = signature_records(records).withColumn("skey", _skey()).persist()
+
+    raw_mem = signature_block_membership_raw(sig, cfg, id_col="skey")
+    # keep the purge bookkeeping: residual mass is monotone under new
+    # members, so the purged keys are final for every later generation
+    sizes = raw_mem.groupBy("block_key").agg(
+        (F.sum("mass") - F.max("mass")).alias("residual")
+    )
+    purged = sizes.filter(
+        F.col("residual") > cfg.purge_block_size
+    ).select("block_key")
+    kept_mem = raw_mem.join(purged, "block_key", "left_anti")
+
+    pairs = candidate_pairs(
+        cap_block_size(kept_mem.select("block_key", "rid"), cfg.max_block_size),
+        cfg.min_common_blocks,
+    )
+    feats = sig.select(
+        F.col("skey").alias("rid"), "name_key", "tokens",
+        embed_udf(F.col("name_key")).alias("embedding"),
+    )
+    edges = match_edges(score_pairs(pairs, feats, cfg), cfg)
+
+    store.commit_part(0, "records", records, ph)
+    sig_slim = sig.select("skey", "sid", "name_key", "role_sigs", "n_members")
+    sig_c = store.commit_part(0, "signatures", sig_slim, ph)
+    mem_c = store.commit_part(0, "membership", kept_mem, ph)
+    store.commit_part(0, "purged", purged, ph)
+    edges_c = store.commit_part(0, "edges", edges, ph)
+
+    sig_cl = connected_components(
+        edges_c.select(F.col("id_a"), F.col("id_b")),
+        nodes=sig_c.select(F.col("skey").alias("rid")),
+    ).select(F.col("rid").alias("skey"), F.col("component").alias("comp_skey"))
+    # component representative = min member rid = min sid over the
+    # component's signatures (the er_pipeline contract)
+    reps = (
+        sig_cl.join(sig_c.select("skey", "sid"), "skey")
+        .groupBy("comp_skey")
+        .agg(F.min("sid").alias("component"))
+    )
+    sig_cl = sig_cl.join(reps, "comp_skey")
+    sig_cl_c = store.commit_part(0, "sig_clusters", sig_cl, ph)
+
+    clusters = (
+        records.join(sig_c.select("skey", "name_key"), "name_key")
+        .join(sig_cl_c.select("skey", "component"), "skey")
+        .select("rid", "component")
+    )
+    store.commit_part(0, "clusters", clusters, ph)
+    _vocab_stages(store, 0, vocab, ph)
+
+    meta = {"generation": 0, "params_hash": ph}
+    store._publish(meta)
+    records.unpersist()
+    sig.unpersist()
+    return meta
+
+
+def _combined_stop_drift(
+    base_df: DataFrame,
+    delta_df: DataFrame,
+    base_total: int,
+    delta_total: int,
+    frac: float,
+    count_col: str,
+) -> DataFrame:
+    """Tokens whose stop-set membership under the COMBINED corpus differs
+    from the base decision — an exact, vocabulary-sized certificate that
+    the frozen fast path equals the full recompute (empty ⇒ exact)."""
+    b = base_df.select("token", F.col(count_col).alias("b"))
+    d = delta_df.select("token", F.col(count_col).alias("d"))
+    total = base_total + delta_total
+    j = b.join(d, "token", "full").select(
+        "token",
+        F.coalesce("b", F.lit(0)).alias("b"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    was = F.col("b") > frac * base_total
+    now = (F.col("b") + F.col("d")) > frac * total
+    return j.filter(was != now).select("token")
+
+
+def incremental_er_update(
+    spark: SparkSession,
+    store: ERStateStore,
+    delta_turns: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    check_rid_collisions: bool = True,
+) -> dict:
+    """Fold a batch of NEW conversations into the committed state; publish
+    generation g+1; return a report with the updated clusters and the
+    exactness/work counters. Raises StopSetDriftError when the frozen
+    vocabulary cannot reproduce the full recompute."""
+    st = store.state()
+    gen, ph = st["generation"], st["params_hash"]
+    new_gen = gen + 1
+
+    stops = store.read_part(gen, "stops")
+    frozen = (stops.select("stop1_arr"), stops.select("stop_arr"))
+    dvocab: dict = {}
+    d_records = conversation_records(
+        delta_turns,
+        cfg,
+        embed=False,
+        with_text=False,
+        materialize=_materialize_stage,
+        token_source=delta_turns,
+        frozen_stops=frozen,
+        vocab_out=dvocab,
+    ).select("rid", "role_sig", "name_key")
+    d_records = d_records.persist()
+
+    if check_rid_collisions:
+        n_dup = d_records.join(
+            store.records().select("rid"), "rid", "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} delta rid(s) already exist in the committed state: "
+                "incremental_er_update appends NEW conversations; re-ingested "
+                "conversations need a compaction."
+            )
+
+    # ---- exactness certificate: combined stop sets == frozen stop sets
+    totals = store.read_part(gen, "totals").collect()[0]
+    d_tot = (
+        dvocab["n_turns_total"]
+        .crossJoin(dvocab["n_records"].select(F.col("n_docs").alias("n_records")))
+        .collect()[0]
+    )
+    drift1 = _combined_stop_drift(
+        store.read_part(gen, "vocab_turns"), dvocab["turn_df"],
+        totals["n_turns_total"], d_tot["n_turns_total"],
+        TURN_STOP_DF, "tdf",
+    )
+    drift2 = _combined_stop_drift(
+        store.read_part(gen, "vocab_records"), dvocab["record_df"],
+        totals["n_records"], d_tot["n_records"],
+        STOP_TOKEN_DF, "df",
+    )
+    drifted = [r.token for r in drift1.union(drift2).limit(20).collect()]
+    if drifted:
+        d_records.unpersist()
+        raise StopSetDriftError(drifted)
+
+    # ---- signature merge (delta-proportional)
+    base_sig = store.signatures()
+    d_parts = (
+        signature_records(d_records)
+        .withColumn("skey", _skey())
+        .select("skey", "sid", "name_key", "role_sigs", "n_members")
+        .persist()
+    )
+    joined = d_parts.alias("d").join(
+        base_sig.alias("b"), "skey", "left"
+    )
+    merged_role_sigs = F.array_sort(
+        F.transform(
+            F.map_entries(
+                F.map_zip_with(
+                    F.map_from_entries(F.coalesce(F.col("b.role_sigs"),
+                                                  F.array().cast(
+                                                      "array<struct<role_sig:string,rs_n:bigint>>"))),
+                    F.map_from_entries(F.col("d.role_sigs")),
+                    lambda k, v1, v2: F.coalesce(v1, F.lit(0))
+                    + F.coalesce(v2, F.lit(0)),
+                )
+            ),
+            lambda e: F.struct(
+                e["key"].alias("role_sig"), e["value"].alias("rs_n")
+            ),
+        )
+    )
+    changed_sigs = joined.select(
+        "skey",
+        F.least(F.col("d.sid"), F.coalesce(F.col("b.sid"), F.col("d.sid"))).alias("sid"),
+        F.col("d.name_key").alias("name_key"),
+        merged_role_sigs.alias("role_sigs"),
+        (F.col("d.n_members") + F.coalesce(F.col("b.n_members"), F.lit(0))).alias(
+            "n_members"
+        ),
+    ).persist()
+    n_changed = changed_sigs.count()
+    n_new_sigs = changed_sigs.join(base_sig, "skey", "left_anti").count()
+
+    # tokens re-derived from name_key (signature_records contract)
+    changed_full = changed_sigs.withColumn(
+        "tokens",
+        F.when(F.col("name_key") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("name_key", " ")),
+    )
+
+    # ---- touched blocks: every key of a changed/new signature
+    base_mem = store.membership()
+    base_purged = store.purged()
+    changed_mem = signature_block_membership_raw(
+        changed_full, cfg, id_col="skey"
+    ).join(base_purged, "block_key", "left_anti")  # purged stays purged
+    touched_keys = changed_mem.select("block_key").distinct().persist()
+
+    # combined membership of touched blocks = base rows for other sigs
+    # ∪ changed rows (ALL of a changed signature's keys are touched)
+    changed_keys = changed_sigs.select("skey")
+    changed_rids = changed_keys.withColumnRenamed("skey", "rid")
+    touched_mem = (
+        base_mem.join(touched_keys, "block_key", "left_semi")
+        .join(changed_rids, "rid", "left_anti")
+        .unionByName(changed_mem.select("block_key", "rid", "mass"))
+    ).persist()
+
+    # exact combined purge re-evaluation on the touched blocks
+    t_sizes = touched_mem.groupBy("block_key").agg(
+        (F.sum("mass") - F.max("mass")).alias("residual")
+    )
+    newly_purged = t_sizes.filter(
+        F.col("residual") > cfg.purge_block_size
+    ).select("block_key").persist()
+    n_newly_purged = newly_purged.count()
+    kept_touched = touched_mem.join(newly_purged, "block_key", "left_anti")
+
+    # ---- rescore set R: members of touched kept blocks ∪ members of
+    # newly purged blocks ∪ the changed/new signatures themselves
+    R = (
+        kept_touched.select(F.col("rid").alias("skey"))
+        .unionByName(
+            touched_mem.join(newly_purged, "block_key", "left_semi")
+            .select(F.col("rid").alias("skey"))
+        )
+        .unionByName(changed_keys)
+        .distinct()
+        .persist()
+    )
+    n_rescore = R.count()
+
+    # ---- candidate regeneration over R-adjacent blocks (combined view)
+    combined_mem = (
+        base_mem.join(touched_keys, "block_key", "left_anti")
+        .join(changed_rids, "rid", "left_anti")
+        .unionByName(kept_touched)
+    )
+    r_rids = R.withColumnRenamed("skey", "rid")
+    r_blocks = (
+        combined_mem.join(r_rids, "rid", "left_semi")
+        .select("block_key")
+        .distinct()
+    )
+    gen_mem = combined_mem.join(r_blocks, "block_key", "left_semi")
+    pairs = candidate_pairs(
+        cap_block_size(gen_mem.select("block_key", "rid"), cfg.max_block_size),
+        cfg.min_common_blocks,
+    )
+    rr_pairs = (
+        pairs.join(R.withColumnRenamed("skey", "id_a"), "id_a", "left_semi")
+        .join(R.withColumnRenamed("skey", "id_b"), "id_b", "left_semi")
+    )
+    # features for R signatures only (embedding recomputed — pure function
+    # of name_key, cheaper than storing 64-dim vectors for every signature)
+    all_sigs = (
+        base_sig.join(changed_keys, "skey", "left_anti")
+        .unionByName(changed_sigs)
+        .persist()
+    )
+    r_feats = (
+        all_sigs.join(R, "skey", "left_semi")
+        .withColumn(
+            "tokens",
+            F.when(F.col("name_key") == "", F.array().cast("array<string>"))
+            .otherwise(F.split("name_key", " ")),
+        )
+        .select(
+            F.col("skey").alias("rid"), "name_key", "tokens",
+            embed_udf(F.col("name_key")).alias("embedding"),
+        )
+    )
+    new_rr_edges = match_edges(score_pairs(rr_pairs, r_feats, cfg), cfg)
+
+    # updated edge set: base edges with ≤1 endpoint in R are exact as-is
+    base_edges = store.edges()
+    kept_edges = base_edges.join(
+        R.withColumnRenamed("skey", "id_a"), "id_a", "left_anti"
+    ).unionByName(
+        base_edges.join(R.withColumnRenamed("skey", "id_a"), "id_a", "left_semi")
+        .join(R.withColumnRenamed("skey", "id_b"), "id_b", "left_anti")
+    )
+    updated_edges = kept_edges.unionByName(
+        new_rr_edges.select("id_a", "id_b")
+    ).persist()
+
+    # ---- component-local re-clustering
+    base_sig_cl = store.sig_clusters()
+    affected_comps = (
+        base_sig_cl.join(R, "skey", "left_semi")
+        .select("comp_skey")
+        .distinct()
+        .persist()
+    )
+    n_affected = affected_comps.count()
+    affected_sigs = (
+        base_sig_cl.join(affected_comps, "comp_skey", "left_semi")
+        .select("skey")
+        .unionByName(changed_keys)
+        .distinct()
+    )
+    sub_edges = (
+        updated_edges.join(
+            affected_sigs.withColumnRenamed("skey", "id_a"), "id_a", "left_semi"
+        )
+    )
+    sub_cl = connected_components(
+        sub_edges, nodes=affected_sigs.select(F.col("skey").alias("rid"))
+    ).select(F.col("rid").alias("skey"), F.col("component").alias("comp_skey"))
+    sub_reps = (
+        sub_cl.join(all_sigs.select("skey", "sid"), "skey")
+        .groupBy("comp_skey")
+        .agg(F.min("sid").alias("component"))
+    )
+    sub_cl = sub_cl.join(sub_reps, "comp_skey")
+
+    # ---- publish generation g+1
+    store.commit_part(new_gen, "records", d_records, ph)
+    sig_out = store.commit_part(new_gen, "signatures", all_sigs, ph)
+    store.commit_part(new_gen, "membership", combined_mem, ph)
+    store.commit_part(
+        new_gen, "purged", base_purged.unionByName(newly_purged), ph
+    )
+    store.commit_part(new_gen, "edges", updated_edges, ph)
+    new_sig_cl = (
+        base_sig_cl.join(affected_comps, "comp_skey", "left_anti")
+        .unionByName(sub_cl)
+    )
+    sig_cl_out = store.commit_part(new_gen, "sig_clusters", new_sig_cl, ph)
+
+    # replaced base representatives (for the clusters LSM fold) + overlay
+    replaced = (
+        base_sig_cl.join(affected_comps, "comp_skey", "left_semi")
+        .select(F.col("component").alias("rep"))
+        .distinct()
+    )
+    store.commit_part(new_gen, "replaced_reps", replaced, ph)
+    # store.records() still follows the OLD pointer here (the new one is
+    # published last, crash-safely) — fold the delta in explicitly
+    all_records = store.records().unionByName(
+        d_records.select("rid", "role_sig", "name_key")
+    )
+    # overlay keyed off the re-clustered signatures (affected_sigs), NOT
+    # base affected comps: new signatures (e.g. a brand-new singleton
+    # entity) live in components that do not exist in the base clustering
+    overlay = (
+        all_records.join(
+            sig_out.join(
+                sig_cl_out.join(affected_sigs, "skey", "left_semi")
+                .select("skey", "component"),
+                "skey",
+            ).select("name_key", "component"),
+            "name_key",
+        )
+        .select("rid", "component")
+    )
+    store.commit_part(new_gen, "clusters", overlay, ph)
+
+    # combined vocabulary for the NEXT generation's drift check
+    bvt = store.read_part(gen, "vocab_turns")
+    cvt = (
+        bvt.join(dvocab["turn_df"], "token", "full")
+        .select(
+            "token",
+            (F.coalesce(bvt["tdf"], F.lit(0))
+             + F.coalesce(dvocab["turn_df"]["tdf"], F.lit(0))).alias("tdf"),
+        )
+    )
+    store.commit_part(new_gen, "vocab_turns", cvt, ph)
+    bvr = store.read_part(gen, "vocab_records")
+    cvr = (
+        bvr.join(dvocab["record_df"], "token", "full")
+        .select(
+            "token",
+            (F.coalesce(bvr["df"], F.lit(0))
+             + F.coalesce(dvocab["record_df"]["df"], F.lit(0))).alias("df"),
+        )
+    )
+    store.commit_part(new_gen, "vocab_records", cvr, ph)
+    store.commit_part(
+        new_gen,
+        "totals",
+        spark.createDataFrame(
+            [(totals["n_turns_total"] + d_tot["n_turns_total"],
+              totals["n_records"] + d_tot["n_records"])],
+            "n_turns_total bigint, n_records bigint",
+        ),
+        ph,
+    )
+    store.commit_part(new_gen, "stops", stops, ph)
+
+    report = {
+        "generation": new_gen,
+        "params_hash": ph,
+        "stop_stable": True,
+        "n_delta_records": d_records.count(),
+        "n_changed_sigs": n_changed,
+        "n_new_sigs": n_new_sigs,
+        "n_touched_blocks": touched_keys.count(),
+        "n_newly_purged_blocks": n_newly_purged,
+        "n_rescore_sigs": n_rescore,
+        "n_affected_components": n_affected,
+    }
+    store._publish({"generation": new_gen, "params_hash": ph})
+    _atomic_write_json(store.root / f"er_g{new_gen}_report.json", report)
+    for df in (d_records, d_parts, changed_sigs, touched_keys, touched_mem,
+               newly_purged, R, all_sigs, updated_edges, affected_comps):
+        df.unpersist()
+    return report
+
+
+def compact(
+    spark: SparkSession,
+    store: ERStateStore,
+    all_turns: DataFrame,
+    cfg: ERConfig = ERConfig(),
+) -> dict:
+    """Squash the overlay chain: recommit the combined corpus as a fresh
+    base generation in a NEW root, leaving the old chain readable until the
+    caller swaps pointers. (Kept trivial here; an Iceberg deployment
+    expresses this as a snapshot rewrite.)"""
+    return commit_er_state(spark, store, all_turns, cfg)
