@@ -848,18 +848,21 @@ GROUP BY doc_id, h
 # --------------------------------------------------------------------------
 
 
-def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tabiya_livelihoods_classifier_spark.functions.strsim import jaccard_expr
-
-    # sh consumed from 2 branches (signature + exact-rescore features):
-    # the shared stage makes each branch a parquet scan, not a re-tokenize
-    sh = _shingled_staged(spark, sf_dir)
-    # band keys built relationally from the exploded signature (same reason
-    # as q13: a 16-column HOF signature invites expression duplication).
-    # Key format matches operators.blocking.minhash_band_keys: 'b{band}|h0|h1'.
-    sig = _minhash_sig_relational(spark, sh, 16)
-    mem = (
-        sig.groupBy("doc_id", (F.col("h") / 2).cast("int").alias("band"))
+def _band_membership(
+    spark: SparkSession, sh: DataFrame, num_hashes: int = 16, band_rows: int = 2
+) -> DataFrame:
+    """(doc_id, bk) LSH band membership from a shingled frame — band keys
+    built relationally from the exploded minhash signature (same reason as
+    q13: a wide HOF signature invites expression duplication). Key format
+    matches operators.blocking.minhash_band_keys: 'b{band}|h0|h1'. A doc's
+    band keys are a pure function of its own shingles, which is what makes
+    the incremental maintenance (q45) exact: old docs' keys never change
+    when new docs arrive."""
+    sig = _minhash_sig_relational(spark, sh, num_hashes)
+    return (
+        sig.groupBy(
+            "doc_id", (F.col("h") / band_rows).cast("int").alias("band")
+        )
         .agg(
             F.array_join(
                 F.transform(
@@ -877,6 +880,18 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
     )
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabiya_livelihoods_classifier_spark.functions.strsim import jaccard_expr
+
+    # sh consumed from 2 branches (signature + exact-rescore features):
+    # the shared stage makes each branch a parquet scan, not a re-tokenize
+    sh = _shingled_staged(spark, sf_dir)
+    # band keys built relationally from the exploded signature (same reason
+    # as q13: a 16-column HOF signature invites expression duplication).
+    # Key format matches operators.blocking.minhash_band_keys: 'b{band}|h0|h1'.
+    mem = _band_membership(spark, sh)
     # candidate pairs streamed per band bucket (one groupBy of the
     # membership fact instead of a bucket self-join): identical fan-out
     # bound — C(bucket, 2) either way — one fewer shuffle, pair order
@@ -3384,6 +3399,102 @@ FROM comp
 """
 
 
+# --------------------------------------------------------------------------
+# Q45  incremental near-dup cluster maintenance (delta fold == full rerun)
+# --------------------------------------------------------------------------
+
+
+def q45_incremental_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup clusters maintained INCREMENTALLY: the corpus is split
+    deterministically into a base slice and a delta batch (doc_id % 3 == 2
+    — the perturbation offsets are ≢ 0 mod 3, so a document and its
+    near/exact copies land in DIFFERENT slices and the delta genuinely
+    merges into existing clusters), the base slice is clustered the batch
+    way, then the delta is folded in touching only its own band buckets:
+
+      * band keys are per-doc functions (_band_membership), so old docs'
+        buckets never change — new candidate pairs can only appear in a
+        bucket CONTAINING a delta doc;
+      * an (old, old) pair co-bucketed in a touched bucket was co-bucketed
+        in the base run too, so only pairs with >= 1 delta endpoint are
+        rescored;
+      * connected components re-runs ONLY on base components touched by a
+        new edge (plus delta docs as nodes); every other (doc, cluster)
+        row passes through from the base clustering.
+
+    The oracle is the FULL-recompute recursive SQL (Q26 family), so the
+    correctness row certifies incremental == batch on rows, schema, and
+    values — the document-table twin of streaming/incremental_er.py's
+    transcript-ER state fold (which carries the full touched-bucket /
+    rescore-set machinery; here the incremental substance is the CLUSTER
+    maintenance). Pair discovery is shared with q14's staged snapshot:
+    because a doc's band keys are functions of its own shingles alone, the
+    base slice's pair set is EXACTLY the staged pairs with both endpoints
+    in the base slice, and the delta's new pairs are exactly those with a
+    delta endpoint — the same per-doc-key argument that makes the
+    transcript updater's touched-bucket join exact, collapsed to two
+    filters over one shared materialization. Scale: beyond the shared pair
+    stage the query shuffles only the base edge set once (base CC) and the
+    affected components' edges (sub CC), both contraction + checkpointed.
+    """
+    from tabiya_livelihoods_classifier_spark.operators.clustering import (
+        connected_components,
+    )
+
+    all_pairs = _lsh_pairs_staged(spark, sf_dir).select("id_a", "id_b")
+    corpus_ids = _perturbed_corpus(spark, sf_dir).select("doc_id")
+    is_delta = F.pmod(F.col("doc_id"), F.lit(3)) == F.lit(2)
+    d_a = F.pmod(F.col("id_a"), F.lit(3)) == F.lit(2)
+    d_b = F.pmod(F.col("id_b"), F.lit(3)) == F.lit(2)
+
+    # ---- batch clustering of the base slice
+    base_nodes = corpus_ids.filter(~is_delta).select(
+        F.col("doc_id").alias("rid")
+    )
+    base_edges = all_pairs.filter(~d_a & ~d_b)
+    base_cl = connected_components(base_edges, nodes=base_nodes)
+
+    # ---- delta fold: only pairs with a delta endpoint are new
+    new_edges = all_pairs.filter(d_a | d_b)
+
+    # ---- component-local re-clustering
+    ends = (
+        new_edges.select(F.col("id_a").alias("rid"))
+        .unionByName(new_edges.select(F.col("id_b").alias("rid")))
+        .distinct()
+    )
+    aff_comps = (
+        base_cl.join(ends, "rid", "left_semi").select("component").distinct()
+    )
+    aff_members = base_cl.join(aff_comps, "component", "left_semi").select(
+        "rid"
+    )
+    sub_nodes = (
+        aff_members.unionByName(
+            corpus_ids.filter(is_delta).select(F.col("doc_id").alias("rid"))
+        )
+        .distinct()
+    )
+    aff_base_edges = base_edges.join(
+        aff_members.withColumnRenamed("rid", "id_a"), "id_a", "left_semi"
+    )
+    sub_cl = connected_components(
+        aff_base_edges.unionByName(new_edges), nodes=sub_nodes
+    )
+    return (
+        base_cl.join(aff_comps, "component", "left_anti")
+        .unionByName(sub_cl)
+        .select(
+            F.col("rid").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+    )
+
+
+Q45_SQL = Q26_SQL  # the oracle IS the full batch recompute — that's the claim
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -3433,6 +3544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_simhash_neardup": q42_simhash_neardup,
     "q43_tfidf_topterms": q43_tfidf_topterms,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q45_incremental_dedup_clusters": q45_incremental_dedup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3480,4 +3592,5 @@ ORACLE_SQL: dict[str, str] = {
     "q42_simhash_neardup": Q42_SQL,
     "q43_tfidf_topterms": Q43_SQL,
     "q44_dedup_clusters": Q44_SQL,
+    "q45_incremental_dedup_clusters": Q45_SQL,
 }
