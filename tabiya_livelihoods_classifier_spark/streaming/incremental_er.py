@@ -2,6 +2,14 @@
 committed ER state without recomputing the corpus (SURVEY §2.9; north rule
 "resumes from the last committed snapshot/checkpoint").
 
+Reference parity: the reference's only incremental facility is
+skip-processed-keys on rerun (scripts/2_llm_extraction/2_1….py:89-132,
+scripts/3_llm_reranker/3_1….py:596-616) — append-only resume with no
+cluster maintenance. This module is the ER-complete generalization that
+full-scale entity resolution needs: new records can MERGE existing
+clusters, change representatives, and flip corpus-global decisions, and
+each of those effects is either folded in exactly or refused explicitly.
+
 The batch pipeline (plans/pipeline.er_pipeline) is a pure function of the
 whole corpus, but three of its stages read CORPUS-GLOBAL aggregates, so a
 naive "run the pipeline on the delta and union" is wrong:

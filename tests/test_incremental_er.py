@@ -18,6 +18,7 @@ from tabiya_livelihoods_classifier_spark.streaming.incremental_er import (
     ERStateStore,
     StopSetDriftError,
     commit_er_state,
+    compact,
     incremental_er_update,
 )
 
@@ -173,6 +174,14 @@ def test_stop_set_drift_refuses(spark, tmp_path):
     assert "zebra" in ei.value.drifted
     # refused update publishes nothing: state still at generation 0
     assert store.generation() == 0
+
+    # the documented recovery: compaction on the combined corpus
+    combined = spark.createDataFrame(base_rows + delta_rows, TRANSCRIPT_SCHEMA)
+    compact(spark, store, combined)
+    assert store.generation() == 0
+    assert _clusters_dict(store.clusters()) == _clusters_dict(
+        er_pipeline(spark, combined)["clusters"]
+    )
 
 
 def test_rid_collision_refuses(spark, tmp_path):
