@@ -314,6 +314,128 @@ def run_er_once(master: str, turns_parquet: str) -> int:
     return 0
 
 
+def run_er_incremental(
+    master: str, turns_parquet: str, shape: str = "entity"
+) -> int:
+    """Incremental-fold-vs-batch-recompute evidence (one JSON line).
+
+    Splits the corpus ~95/5, commits the 95% as base ER state, folds the
+    5% in with streaming/incremental_er.incremental_er_update, runs the
+    full batch pipeline on 100% for reference, and checks the two cluster
+    tables are IDENTICAL row-for-row before reporting the speedup. Same
+    session shape as run_er_once (tmpfs scratch, 64 shuffle partitions).
+
+    `shape` picks the delta's spread — the variable that DECIDES whether
+    incremental maintenance can win at all:
+
+      * 'entity' (default, the design case): the delta is every
+        conversation of a 5% slice of entities (new entities arriving),
+        so the affected-component set is ~5% of clusters and the fold
+        touches only that neighborhood.
+      * 'uniform' (adversarial): a random 5% of conversations — at bench
+        entity density every cluster gains a member, the affected set is
+        ~ALL components, and incremental degenerates to recompute plus
+        state-maintenance overhead. Reported because a benchmark that
+        only shows the favorable shape isn't evidence.
+
+    Entity locality is read from the conv index (the generator assigns
+    conv i -> entity i % n_entities; n_entities via
+    SPARK_GRAFT_ER_ENTITIES, default 1700 = every bench* scale).
+    """
+    import atexit
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tabiya_livelihoods_classifier_spark.plans.pipeline import er_pipeline
+    from tabiya_livelihoods_classifier_spark.session import get_spark
+    from tabiya_livelihoods_classifier_spark.streaming.incremental_er import (
+        ERStateStore,
+        commit_er_state,
+        incremental_er_update,
+    )
+
+    local_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="sl-")
+    ckpt_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="er-ckpt-")
+    state_dir = tempfile.mkdtemp(dir="/dev/shm", prefix="er-state-")
+    for d in (local_dir, ckpt_dir, state_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    spark = get_spark(
+        app_name="er-incremental-bench",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf={**BENCH_CONF, "spark.local.dir": local_dir},
+    )
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    turns = spark.read.parquet(turns_parquet)
+    n_turns = turns.count()  # warm the input outside every timed window
+    if shape == "uniform":
+        is_delta = F.crc32(F.col("conv_id")) % 20 == 0
+        base_t, delta_t = turns.filter(~is_delta), turns.filter(is_delta)
+    else:
+        # the generator SHUFFLES its entity round-robin, so locality must
+        # come from the gold table (conv_id -> entity_id), not the conv
+        # index: delta = every conversation of the lowest 5% of entity ids
+        n_ent = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "1700"))
+        gold = spark.read.parquet(
+            str(Path(turns_parquet).parent / "gold.parquet")
+        )
+        delta_convs = (
+            gold.filter(F.col("entity_id") < max(1, n_ent // 20))
+            .select("conv_id")
+            .distinct()
+        )
+        base_t = turns.join(delta_convs, "conv_id", "left_anti")
+        delta_t = turns.join(delta_convs, "conv_id", "left_semi")
+
+    store = ERStateStore(spark, state_dir)
+    t0 = time.perf_counter()
+    commit_er_state(spark, store, base_t)
+    commit_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    phase_timings: dict = {}
+    report = incremental_er_update(spark, store, delta_t, timings=phase_timings)
+    update_s = time.perf_counter() - t0
+    inc_cl = store.clusters()
+
+    t0 = time.perf_counter()
+    full_cl = er_pipeline(spark, turns)["clusters"]
+    n_full = full_cl.count()
+    full_s = time.perf_counter() - t0
+
+    mismatches = (
+        inc_cl.withColumnRenamed("component", "c_inc")
+        .join(full_cl.withColumnRenamed("component", "c_full"), "rid", "full")
+        .filter(
+            F.col("c_inc").isNull()
+            | F.col("c_full").isNull()
+            | (F.col("c_inc") != F.col("c_full"))
+        )
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "turns": n_turns,
+                "delta_records": report["n_delta_records"],
+                "records_total": n_full,
+                "commit_s": round(commit_s, 3),
+                "update_s": round(update_s, 3),
+                "full_recompute_s": round(full_s, 3),
+                "speedup_vs_recompute": round(full_s / update_s, 2),
+                "identical_clusters": mismatches == 0,
+                "rescore_sigs": report["n_rescore_sigs"],
+                "affected_components": report["n_affected_components"],
+                "update_phases": phase_timings,
+                "delta_shape": shape,
+                "master": master,
+            }
+        )
+    )
+    return 0 if mismatches == 0 else 1
+
+
 def run_er_profile(master: str, turns_parquet: str) -> int:
     """Per-stage wall-clock breakdown of the ER pipeline (profiling aid for
     the scaling-efficiency work; each stage persisted + counted in order so
@@ -734,6 +856,9 @@ def main() -> int:
         return run_er_once(sys.argv[2], sys.argv[3])
     if len(sys.argv) > 1 and sys.argv[1] == "--er-profile":
         return run_er_profile(sys.argv[2], sys.argv[3])
+    if len(sys.argv) > 1 and sys.argv[1] == "--er-incremental":
+        shape = sys.argv[4] if len(sys.argv) > 4 else "entity"
+        return run_er_incremental(sys.argv[2], sys.argv[3], shape)
     if len(sys.argv) > 1 and sys.argv[1] == "--er-gen":
         print(materialize_corpus(sys.argv[2], sys.argv[3]))
         return 0

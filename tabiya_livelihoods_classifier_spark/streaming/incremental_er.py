@@ -38,14 +38,17 @@ base ⊕ delta:
      base state stays purged — stored purged keys are final. Kept blocks
      touched by the delta are re-weighed exactly from the stored
      per-(block, signature) masses plus the delta's.
-  3. **Block-local rescore set.** R = every signature that shares a
-     touched block with a changed/new signature (plus the changed/new
-     signatures themselves). All candidate pairs with BOTH endpoints in R
-     are regenerated from the combined membership of R-adjacent blocks and
-     rescored; base edges with at most one endpoint in R are provably
-     identical to what the full recompute would produce (any block that
-     could generate or re-support such a pair contains both endpoints and
-     would have put them in R). Work is proportional to the delta's block
+  3. **Block-local rescore set.** With the default min_common_blocks == 1,
+     a pair is a candidate iff it co-occurs in >= 1 kept block, so exactly
+     two kinds of pairs can differ from the base run: pairs touching a
+     changed/new signature, and pairs both of whose endpoints sit in a
+     newly purged block (their only generating block may be gone). Those
+     are regenerated from the combined membership of the relevant blocks
+     and rescored; every other base edge is provably unchanged
+     (co-occurrence only grows, scores are frozen-feature functions). With
+     min_common_blocks > 1 pair SUPPORT counts can change too, so the
+     rescore set conservatively widens to every member of every touched
+     block. Either way, work is proportional to the delta's block
      neighborhood, not the corpus.
   4. **Component-local re-clustering.** Only components containing an R
      member can change; connected components re-runs on that subgraph
@@ -354,11 +357,20 @@ def incremental_er_update(
     delta_turns: DataFrame,
     cfg: ERConfig = ERConfig(),
     check_rid_collisions: bool = True,
+    timings: dict | None = None,
 ) -> dict:
     """Fold a batch of NEW conversations into the committed state; publish
-    generation g+1; return a report with the updated clusters and the
-    exactness/work counters. Raises StopSetDriftError when the frozen
-    vocabulary cannot reproduce the full recompute."""
+    generation g+1; return a JSON-able report of the exactness/work
+    counters (read the updated clusters via store.clusters()). Raises
+    StopSetDriftError when the frozen vocabulary cannot reproduce the full
+    recompute. `timings` (optional dict) receives per-phase wall clocks."""
+    import time as _time
+
+    _marks: list = [("start", _time.perf_counter())]
+
+    def _mark(name: str) -> None:
+        _marks.append((name, _time.perf_counter()))
+
     st = store.state()
     gen, ph = st["generation"], st["params_hash"]
     new_gen = gen + 1
@@ -389,6 +401,8 @@ def incremental_er_update(
                 "conversations need a compaction."
             )
 
+    _mark("delta_records_ridcheck")
+
     # ---- exactness certificate: combined stop sets == frozen stop sets
     totals = store.read_part(gen, "totals").collect()[0]
     d_tot = (
@@ -410,14 +424,28 @@ def incremental_er_update(
     if drifted:
         d_records.unpersist()
         raise StopSetDriftError(drifted)
+    _mark("drift_check")
 
     # ---- signature merge (delta-proportional)
+    #
+    # Materialization discipline for everything below: the shared small
+    # frames are committed through the StageStore EARLY and read back, and
+    # NOTHING is persist()ed. A persisted frame pins the partitioning it
+    # was cached with (64-128 shuffle partitions of a few thousand rows),
+    # and every downstream stage — especially the Arrow Jaro-Winkler pass
+    # — then pays per-task overhead x128 with AQE unable to coalesce
+    # (measured at bench: 26s pair gen + 45s scoring + 78s edge union on
+    # persisted intermediates vs seconds for the same data volume inside
+    # the batch pipeline's AQE-coalesced jobs). Committed parquet
+    # snapshots give the same compute-once guarantee, let AQE re-plan
+    # every consumer from actual sizes, and publish lineage for free.
+    d_rec_c = store.commit_part(new_gen, "records", d_records, ph)
+    d_records.unpersist()
     base_sig = store.signatures()
     d_parts = (
-        signature_records(d_records)
+        signature_records(d_rec_c)
         .withColumn("skey", _skey())
         .select("skey", "sid", "name_key", "role_sigs", "n_members")
-        .persist()
     )
     joined = d_parts.alias("d").join(
         base_sig.alias("b"), "skey", "left"
@@ -439,17 +467,24 @@ def incremental_er_update(
             ),
         )
     )
-    changed_sigs = joined.select(
-        "skey",
-        F.least(F.col("d.sid"), F.coalesce(F.col("b.sid"), F.col("d.sid"))).alias("sid"),
-        F.col("d.name_key").alias("name_key"),
-        merged_role_sigs.alias("role_sigs"),
-        (F.col("d.n_members") + F.coalesce(F.col("b.n_members"), F.lit(0))).alias(
-            "n_members"
+    changed_sigs = store.commit_part(
+        new_gen,
+        "sig_delta",
+        joined.select(
+            "skey",
+            F.least(
+                F.col("d.sid"), F.coalesce(F.col("b.sid"), F.col("d.sid"))
+            ).alias("sid"),
+            F.col("d.name_key").alias("name_key"),
+            merged_role_sigs.alias("role_sigs"),
+            (F.col("d.n_members")
+             + F.coalesce(F.col("b.n_members"), F.lit(0))).alias("n_members"),
         ),
-    ).persist()
-    n_changed = changed_sigs.count()
+        ph,
+    )
+    n_changed = store.store.manifest(store._name(new_gen, "sig_delta"))["rows"]
     n_new_sigs = changed_sigs.join(base_sig, "skey", "left_anti").count()
+    _mark("signature_merge")
 
     # tokens re-derived from name_key (signature_records contract)
     changed_full = changed_sigs.withColumn(
@@ -464,48 +499,86 @@ def incremental_er_update(
     changed_mem = signature_block_membership_raw(
         changed_full, cfg, id_col="skey"
     ).join(base_purged, "block_key", "left_anti")  # purged stays purged
-    touched_keys = changed_mem.select("block_key").distinct().persist()
+    touched_keys = changed_mem.select("block_key").distinct()
 
     # combined membership of touched blocks = base rows for other sigs
     # ∪ changed rows (ALL of a changed signature's keys are touched)
     changed_keys = changed_sigs.select("skey")
     changed_rids = changed_keys.withColumnRenamed("skey", "rid")
-    touched_mem = (
+    touched_mem = store.commit_part(
+        new_gen,
+        "touched_mem",
         base_mem.join(touched_keys, "block_key", "left_semi")
         .join(changed_rids, "rid", "left_anti")
-        .unionByName(changed_mem.select("block_key", "rid", "mass"))
-    ).persist()
+        .unionByName(changed_mem.select("block_key", "rid", "mass")),
+        ph,
+    )
 
     # exact combined purge re-evaluation on the touched blocks
     t_sizes = touched_mem.groupBy("block_key").agg(
         (F.sum("mass") - F.max("mass")).alias("residual")
     )
-    newly_purged = t_sizes.filter(
-        F.col("residual") > cfg.purge_block_size
-    ).select("block_key").persist()
-    n_newly_purged = newly_purged.count()
-    kept_touched = touched_mem.join(newly_purged, "block_key", "left_anti")
-
-    # ---- rescore set R: members of touched kept blocks ∪ members of
-    # newly purged blocks ∪ the changed/new signatures themselves
-    R = (
-        kept_touched.select(F.col("rid").alias("skey"))
-        .unionByName(
-            touched_mem.join(newly_purged, "block_key", "left_semi")
-            .select(F.col("rid").alias("skey"))
-        )
-        .unionByName(changed_keys)
-        .distinct()
-        .persist()
+    newly_purged = store.commit_part(
+        new_gen,
+        "purged_new",
+        t_sizes.filter(F.col("residual") > cfg.purge_block_size)
+        .select("block_key"),
+        ph,
     )
-    n_rescore = R.count()
+    n_newly_purged = store.store.manifest(
+        store._name(new_gen, "purged_new")
+    )["rows"]
+    _mark("touched_purge")
+    kept_touched = touched_mem.join(newly_purged, "block_key", "left_anti")
+    p_members = (
+        touched_mem.join(newly_purged, "block_key", "left_semi")
+        .select(F.col("rid").alias("skey"))
+        .distinct()
+    )
+
+    # ---- rescore set R. Two exact regimes:
+    #
+    # min_common_blocks == 1 (the default — TIGHT): a pair is a candidate
+    # iff it co-occurs in >= 1 kept block, so support counts are
+    # irrelevant and only two kinds of pairs can differ from the base
+    # run: pairs touching a changed/new signature (their blocks gained
+    # co-occurrences), and pairs BOTH of whose endpoints sit in a newly
+    # purged block (they may lose their only generating block). An
+    # (old, old) pair in a touched KEPT block keeps its co-occurrence and
+    # its (frozen-feature) score — no rescore. R is therefore
+    # changed ∪ new ∪ members-of-newly-purged, NOT every co-member of a
+    # touched block; without this, one coarse composite block per lead
+    # token chains R to ~every signature and the component-local
+    # re-clustering degenerates to a full CC (measured at bench: 1700 of
+    # 1700 components affected by an 85-entity delta).
+    #
+    # min_common_blocks > 1 (meta-blocking): pair support counts DO
+    # change when a shared block's member set changes, so R falls back to
+    # every member of every touched block (conservative, still exact).
+    tight = cfg.min_common_blocks == 1
+    if tight:
+        seeds = p_members.unionByName(changed_keys).distinct()
+    else:
+        seeds = (
+            kept_touched.select(F.col("rid").alias("skey"))
+            .unionByName(p_members)
+            .unionByName(changed_keys)
+            .distinct()
+        )
+    R = store.commit_part(new_gen, "rescore_set", seeds, ph)
+    n_rescore = store.store.manifest(store._name(new_gen, "rescore_set"))["rows"]
+    _mark("rescore_set")
 
     # ---- candidate regeneration over R-adjacent blocks (combined view)
-    combined_mem = (
+    combined_mem = store.commit_part(
+        new_gen,
+        "membership",
         base_mem.join(touched_keys, "block_key", "left_anti")
         .join(changed_rids, "rid", "left_anti")
-        .unionByName(kept_touched)
+        .unionByName(kept_touched),
+        ph,
     )
+    _mark("commit_membership")
     r_rids = R.withColumnRenamed("skey", "rid")
     r_blocks = (
         combined_mem.join(r_rids, "rid", "left_semi")
@@ -517,19 +590,54 @@ def incremental_er_update(
         cap_block_size(gen_mem.select("block_key", "rid"), cfg.max_block_size),
         cfg.min_common_blocks,
     )
-    rr_pairs = (
-        pairs.join(R.withColumnRenamed("skey", "id_a"), "id_a", "left_semi")
-        .join(R.withColumnRenamed("skey", "id_b"), "id_b", "left_semi")
-    )
-    # features for R signatures only (embedding recomputed — pure function
-    # of name_key, cheaper than storing 64-dim vectors for every signature)
-    all_sigs = (
+    if tight:
+        # pairs to (re)score: >=1 changed/new endpoint, or both in a newly
+        # purged block's membership (candidacy may have vanished)
+        chm = changed_keys.withColumn("_c", F.lit(1))
+        pm = p_members.withColumn("_p", F.lit(1))
+        rr_pairs = (
+            pairs
+            .join(chm.withColumnRenamed("skey", "id_a")
+                  .withColumnRenamed("_c", "_ca"), "id_a", "left")
+            .join(chm.withColumnRenamed("skey", "id_b")
+                  .withColumnRenamed("_c", "_cb"), "id_b", "left")
+            .join(pm.withColumnRenamed("skey", "id_a")
+                  .withColumnRenamed("_p", "_pa"), "id_a", "left")
+            .join(pm.withColumnRenamed("skey", "id_b")
+                  .withColumnRenamed("_p", "_pb"), "id_b", "left")
+            .filter(
+                F.col("_ca").isNotNull()
+                | F.col("_cb").isNotNull()
+                | (F.col("_pa").isNotNull() & F.col("_pb").isNotNull())
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        rr_pairs = (
+            pairs.join(R.withColumnRenamed("skey", "id_a"), "id_a", "left_semi")
+            .join(R.withColumnRenamed("skey", "id_b"), "id_b", "left_semi")
+        )
+    all_sigs = store.commit_part(
+        new_gen,
+        "signatures",
         base_sig.join(changed_keys, "skey", "left_anti")
-        .unionByName(changed_sigs)
-        .persist()
+        .unionByName(changed_sigs),
+        ph,
+    )
+    sig_out = all_sigs
+    _mark("commit_signatures")
+    # features for every signature a rescored pair can touch (embedding
+    # recomputed — pure function of name_key, cheaper than storing 64-dim
+    # vectors for every signature). In tight mode rescored pairs pair a
+    # changed signature with arbitrary co-members, so cover the generation
+    # blocks' membership; in conservative mode R already covers it.
+    feat_keys = (
+        gen_mem.select(F.col("rid").alias("skey")).distinct()
+        if tight
+        else R
     )
     r_feats = (
-        all_sigs.join(R, "skey", "left_semi")
+        all_sigs.join(feat_keys, "skey", "left_semi")
         .withColumn(
             "tokens",
             F.when(F.col("name_key") == "", F.array().cast("array<string>"))
@@ -540,29 +648,74 @@ def incremental_er_update(
             embed_udf(F.col("name_key")).alias("embedding"),
         )
     )
-    new_rr_edges = match_edges(score_pairs(rr_pairs, r_feats, cfg), cfg)
-
-    # updated edge set: base edges with ≤1 endpoint in R are exact as-is
-    base_edges = store.edges()
-    kept_edges = base_edges.join(
-        R.withColumnRenamed("skey", "id_a"), "id_a", "left_anti"
-    ).unionByName(
-        base_edges.join(R.withColumnRenamed("skey", "id_a"), "id_a", "left_semi")
-        .join(R.withColumnRenamed("skey", "id_b"), "id_b", "left_anti")
+    new_edges_c = store.commit_part(
+        new_gen,
+        "edges_new",
+        match_edges(score_pairs(rr_pairs, r_feats, cfg), cfg)
+        .select("id_a", "id_b"),
+        ph,
     )
-    updated_edges = kept_edges.unionByName(
-        new_rr_edges.select("id_a", "id_b")
-    ).persist()
 
-    # ---- component-local re-clustering
+    # updated edge set. Tight mode: only both-in-P base edges can lose
+    # candidacy, so only those are replaced (a rescored (changed, old)
+    # edge that already existed dedupes against its identical base row).
+    # Conservative mode: everything R x R is replaced.
+    base_edges = store.edges()
+    drop_set = p_members if tight else R
+    kept_edges = base_edges.join(
+        drop_set.withColumnRenamed("skey", "id_a"), "id_a", "left_anti"
+    ).unionByName(
+        base_edges.join(
+            drop_set.withColumnRenamed("skey", "id_a"), "id_a", "left_semi"
+        )
+        .join(drop_set.withColumnRenamed("skey", "id_b"), "id_b", "left_anti")
+    )
+    updated_edges = store.commit_part(
+        new_gen,
+        "edges",
+        kept_edges.unionByName(new_edges_c)
+        .dropDuplicates(["id_a", "id_b"]),
+        ph,
+    )
+    _mark("commit_edges")
+    store.commit_part(
+        new_gen, "purged", base_purged.unionByName(newly_purged), ph
+    )
+
+    # ---- component-local re-clustering. A component's STRUCTURE changes
+    # only through an edge that did not exist before (merge), an edge that
+    # no longer exists (split), or a changed signature (new node / new
+    # sid for the representative). Rescored pairs whose edge persists —
+    # e.g. a duplicated-entity clique inside a newly purged coarse block —
+    # move nothing, so they must not seed the re-clustering: seeding every
+    # P member pulled in 1367 of 1700 components at bench where the truly
+    # changed set is the delta's ~85 entities.
     base_sig_cl = store.sig_clusters()
+    if tight:
+        dropped_pp = base_edges.join(
+            p_members.withColumnRenamed("skey", "id_a"), "id_a", "left_semi"
+        ).join(p_members.withColumnRenamed("skey", "id_b"), "id_b", "left_semi")
+        vanished = dropped_pp.join(new_edges_c, ["id_a", "id_b"], "left_anti")
+        structurally_new = new_edges_c.join(
+            base_edges, ["id_a", "id_b"], "left_anti"
+        )
+        def _ends(e: DataFrame) -> DataFrame:
+            return e.select(F.col("id_a").alias("skey")).unionByName(
+                e.select(F.col("id_b").alias("skey"))
+            )
+        cc_seeds = (
+            _ends(structurally_new)
+            .unionByName(_ends(vanished))
+            .unionByName(changed_keys)
+            .distinct()
+        )
+    else:
+        cc_seeds = R
     affected_comps = (
-        base_sig_cl.join(R, "skey", "left_semi")
+        base_sig_cl.join(cc_seeds, "skey", "left_semi")
         .select("comp_skey")
         .distinct()
-        .persist()
     )
-    n_affected = affected_comps.count()
     affected_sigs = (
         base_sig_cl.join(affected_comps, "comp_skey", "left_semi")
         .select("skey")
@@ -583,20 +736,14 @@ def incremental_er_update(
         .agg(F.min("sid").alias("component"))
     )
     sub_cl = sub_cl.join(sub_reps, "comp_skey")
-
-    # ---- publish generation g+1
-    store.commit_part(new_gen, "records", d_records, ph)
-    sig_out = store.commit_part(new_gen, "signatures", all_sigs, ph)
-    store.commit_part(new_gen, "membership", combined_mem, ph)
-    store.commit_part(
-        new_gen, "purged", base_purged.unionByName(newly_purged), ph
-    )
-    store.commit_part(new_gen, "edges", updated_edges, ph)
+    n_affected = affected_comps.count()
+    _mark("subgraph_cc")
     new_sig_cl = (
         base_sig_cl.join(affected_comps, "comp_skey", "left_anti")
         .unionByName(sub_cl)
     )
     sig_cl_out = store.commit_part(new_gen, "sig_clusters", new_sig_cl, ph)
+    _mark("commit_sig_clusters")
 
     # replaced base representatives (for the clusters LSM fold) + overlay
     replaced = (
@@ -606,9 +753,9 @@ def incremental_er_update(
     )
     store.commit_part(new_gen, "replaced_reps", replaced, ph)
     # store.records() still follows the OLD pointer here (the new one is
-    # published last, crash-safely) — fold the delta in explicitly
+    # published last, crash-safely) — fold the committed delta in explicitly
     all_records = store.records().unionByName(
-        d_records.select("rid", "role_sig", "name_key")
+        d_rec_c.select("rid", "role_sig", "name_key")
     )
     # overlay keyed off the re-clustered signatures (affected_sigs), NOT
     # base affected comps: new signatures (e.g. a brand-new singleton
@@ -625,6 +772,7 @@ def incremental_er_update(
         .select("rid", "component")
     )
     store.commit_part(new_gen, "clusters", overlay, ph)
+    _mark("commit_clusters_overlay")
 
     # combined vocabulary for the NEXT generation's drift check
     bvt = store.read_part(gen, "vocab_turns")
@@ -658,12 +806,15 @@ def incremental_er_update(
         ph,
     )
     store.commit_part(new_gen, "stops", stops, ph)
+    _mark("commit_vocab")
 
     report = {
         "generation": new_gen,
         "params_hash": ph,
         "stop_stable": True,
-        "n_delta_records": d_records.count(),
+        "n_delta_records": store.store.manifest(
+            store._name(new_gen, "records")
+        )["rows"],
         "n_changed_sigs": n_changed,
         "n_new_sigs": n_new_sigs,
         "n_touched_blocks": touched_keys.count(),
@@ -671,11 +822,13 @@ def incremental_er_update(
         "n_rescore_sigs": n_rescore,
         "n_affected_components": n_affected,
     }
+    if timings is not None:
+        timings.update(
+            {n: round(t - _marks[i][1], 3)
+             for i, (n, t) in enumerate(_marks[1:])}
+        )
     store._publish({"generation": new_gen, "params_hash": ph})
     _atomic_write_json(store.root / f"er_g{new_gen}_report.json", report)
-    for df in (d_records, d_parts, changed_sigs, touched_keys, touched_mem,
-               newly_purged, R, all_sigs, updated_edges, affected_comps):
-        df.unpersist()
     return report
 
 
