@@ -111,6 +111,11 @@ def test_two_generations_equal_full(spark, tmp_path):
     assert store.records().select("rid").distinct().count() == turns[
         "conv_id"
     ].nunique()
+    # durability: a FRESH store handle (new process in real life) resolves
+    # the same generation pointer and folds to the same clusters
+    reopened = ERStateStore(spark, tmp_path / "state")
+    assert reopened.generation() == 2
+    assert _clusters_dict(reopened.clusters()) == full
 
 
 def test_new_member_updates_component_representative(spark, tmp_path):
