@@ -832,6 +832,52 @@ def incremental_er_update(
     return report
 
 
+def er_update_available_now(
+    spark: SparkSession,
+    store: ERStateStore,
+    src_dir: str,
+    checkpoint_dir: str,
+    cfg: ERConfig = ERConfig(),
+) -> list[dict]:
+    """Drive the ER state fold from Structured Streaming: drain every
+    transcript file that arrived in `src_dir` since the last run
+    (file-source checkpoint = exactly-once over FILES, the same resume
+    contract as streaming/incremental.ingest_available_now) and fold each
+    micro-batch into the committed state as one generation. Returns the
+    per-batch update reports.
+
+    With ``Trigger.AvailableNow`` and no rate limit this is normally ONE
+    batch per run — deltas arrive as a batch, exactly how the update's
+    cost model wants them. A StopSetDriftError inside a batch fails the
+    streaming query (refusal must be loud, not logged-and-skipped); run a
+    compaction and restart — the failed batch's files are NOT marked
+    processed, so nothing is lost.
+    """
+    from tabiya_livelihoods_classifier_spark.data.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    reports: list[dict] = []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        reports.append(
+            incremental_er_update(spark, store, batch_df, cfg)
+        )
+
+    query = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return reports
+
+
 def compact(
     spark: SparkSession,
     store: ERStateStore,

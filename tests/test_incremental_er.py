@@ -198,6 +198,48 @@ def test_rid_collision_refuses(spark, tmp_path):
     assert store.generation() == 0
 
 
+def test_streaming_available_now_folds_new_files_only(spark, tmp_path):
+    """er_update_available_now: each run drains ONLY the files that
+    arrived since the last run (file-source checkpoint), folds them as one
+    generation, and an empty rerun publishes nothing."""
+    from tabiya_livelihoods_classifier_spark.streaming.incremental_er import (
+        er_update_available_now,
+    )
+
+    turns, _ = generate_transcripts("xs", seed=42)
+    block = turns["conv_id"].str.extract(r"(\d+)$")[0].astype(int) // 12
+    part0 = turns[block.isin([1, 2, 3])]
+    part1 = turns[block == 4]
+    part2 = turns[block == 0]
+
+    store = ERStateStore(spark, tmp_path / "state")
+    commit_er_state(spark, store, _spark_turns(spark, part0))
+
+    src = tmp_path / "arrivals"
+    ckpt = str(tmp_path / "stream_ckpt")
+    src.mkdir()
+    _spark_turns(spark, part1).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    r1 = er_update_available_now(spark, store, str(src), ckpt)
+    assert [r["generation"] for r in r1] == [1]
+
+    # nothing new -> nothing processed, no generation published
+    assert er_update_available_now(spark, store, str(src), ckpt) == []
+    assert store.generation() == 1
+
+    _spark_turns(spark, part2).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    r2 = er_update_available_now(spark, store, str(src), ckpt)
+    assert [r["generation"] for r in r2] == [2]
+
+    full = _clusters_dict(
+        er_pipeline(spark, _spark_turns(spark, turns))["clusters"]
+    )
+    assert _clusters_dict(store.clusters()) == full
+
+
 def test_state_stages_carry_lineage(spark, tmp_path):
     """Every generation's stages go through StageStore.commit, so the
     state inherits the per-partition lineage + metrics contract."""
