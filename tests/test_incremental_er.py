@@ -240,6 +240,46 @@ def test_streaming_available_now_folds_new_files_only(spark, tmp_path):
     assert _clusters_dict(store.clusters()) == full
 
 
+def test_crash_mid_update_leaves_state_readable_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """The generation pointer is published LAST: a crash after some of the
+    new generation's stages are committed must leave the old generation
+    fully readable, and a plain retry must succeed and match the batch
+    pipeline (half-written stages are simply overwritten)."""
+    from tabiya_livelihoods_classifier_spark.streaming import (
+        incremental_er as IE,
+    )
+
+    all_t, base_t, delta_t = _split_xs(spark)
+    store = ERStateStore(spark, tmp_path / "state")
+    commit_er_state(spark, store, base_t)
+    base_clusters = _clusters_dict(store.clusters())
+
+    real_commit = IE.ERStateStore.commit_part
+
+    def crashing(self, gen, part, df, ph):
+        if part == "edges":  # mid-update, after several stages landed
+            raise RuntimeError("injected crash")
+        return real_commit(self, gen, part, df, ph)
+
+    monkeypatch.setattr(IE.ERStateStore, "commit_part", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_er_update(spark, store, delta_t)
+    monkeypatch.setattr(IE.ERStateStore, "commit_part", real_commit)
+
+    # old generation intact and fully readable
+    assert store.generation() == 0
+    assert _clusters_dict(store.clusters()) == base_clusters
+
+    # plain retry succeeds and equals the batch recompute
+    report = incremental_er_update(spark, store, delta_t)
+    assert report["generation"] == 1
+    assert _clusters_dict(store.clusters()) == _clusters_dict(
+        er_pipeline(spark, all_t)["clusters"]
+    )
+
+
 def test_state_stages_carry_lineage(spark, tmp_path):
     """Every generation's stages go through StageStore.commit, so the
     state inherits the per-partition lineage + metrics contract."""
