@@ -64,9 +64,11 @@ min(sid) per component, matching er_pipeline's min-rid contract exactly.
 Storage model (ERStateStore over storage.StageStore — every stage commit
 publishes per-partition lineage + metrics, the snapshot/lineage contract
 of the batch pipeline): signature-granularity stages (signatures,
-membership, purged keys, edges, signature clusters, vocabulary, totals,
-stop sets) are rewritten per generation — they are 2-3 orders of magnitude
-smaller than the corpus (plans/pipeline.py stage 2b). The two
+membership, purged keys, edges, signature clusters, the merged
+(token, tdf, df) vocabulary) are rewritten per generation — they are 2-3
+orders of magnitude smaller than the corpus (plans/pipeline.py stage 2b);
+the scalar state (corpus totals, frozen stop arrays) rides the atomic
+generation-pointer JSON itself. The two
 CORPUS-granularity stages are never rewritten: `records` is append-only
 (a conversation's record is immutable; reading the state folds the union
 of all generations), and `clusters` is an LSM-style overlay chain — each
@@ -225,20 +227,33 @@ class ERStateStore:
         return self.read_part(self.generation(), "sig_clusters")
 
 
-def _vocab_stages(store: ERStateStore, gen: int, vocab: dict, ph: str) -> None:
-    store.commit_part(gen, "vocab_turns", vocab["turn_df"], ph)
-    store.commit_part(gen, "vocab_records", vocab["record_df"], ph)
-    store.commit_part(
-        gen,
-        "totals",
-        vocab["n_turns_total"].crossJoin(
-            vocab["n_records"].select(F.col("n_docs").alias("n_records"))
-        ),
-        ph,
+def _vocab_stage(store: ERStateStore, gen: int, vocab: dict, ph: str) -> None:
+    """One (token, tdf, df) stage per generation — the two document-
+    frequency aggregates the drift certificate reads, merged so a
+    generation costs one vocabulary commit, not two. Scalars (totals) and
+    the frozen stop arrays live in the pointer JSON: they are a handful of
+    values, and folding them into er_state.json removes two more
+    commit+read round-trips from every update."""
+    t, r = vocab["turn_df"], vocab["record_df"]
+    merged = t.join(r, "token", "full").select(
+        "token",
+        F.coalesce(t["tdf"], F.lit(0)).alias("tdf"),
+        F.coalesce(r["df"], F.lit(0)).alias("df"),
     )
-    store.commit_part(
-        gen, "stops", vocab["stop1"].crossJoin(vocab["stop"]), ph
+    store.commit_part(gen, "vocab", merged, ph)
+
+
+def _scalar_state(vocab: dict) -> dict:
+    tot = (
+        vocab["n_turns_total"].crossJoin(vocab["n_records"]).collect()[0]
     )
+    strow = vocab["stop1"].crossJoin(vocab["stop"]).collect()[0]
+    return {
+        "n_turns_total": int(tot["n_turns_total"] or 0),
+        "n_records": int(tot["n_docs"] or 0),
+        "stop1": sorted(strow["stop1_arr"] or []),
+        "stop": sorted(strow["stop_arr"] or []),
+    }
 
 
 def commit_er_state(
@@ -318,9 +333,9 @@ def commit_er_state(
         .select("rid", "component")
     )
     store.commit_part(0, "clusters", clusters, ph)
-    _vocab_stages(store, 0, vocab, ph)
+    _vocab_stage(store, 0, vocab, ph)
 
-    meta = {"generation": 0, "params_hash": ph}
+    meta = {"generation": 0, "params_hash": ph, **_scalar_state(vocab)}
     store._publish(meta)
     records.unpersist()
     sig.unpersist()
@@ -375,8 +390,10 @@ def incremental_er_update(
     gen, ph = st["generation"], st["params_hash"]
     new_gen = gen + 1
 
-    stops = store.read_part(gen, "stops")
-    frozen = (stops.select("stop1_arr"), stops.select("stop_arr"))
+    frozen = (
+        spark.createDataFrame([(st["stop1"],)], "stop1_arr array<string>"),
+        spark.createDataFrame([(st["stop"],)], "stop_arr array<string>"),
+    )
     dvocab: dict = {}
     d_records = conversation_records(
         delta_turns,
@@ -404,20 +421,20 @@ def incremental_er_update(
     _mark("delta_records_ridcheck")
 
     # ---- exactness certificate: combined stop sets == frozen stop sets
-    totals = store.read_part(gen, "totals").collect()[0]
     d_tot = (
         dvocab["n_turns_total"]
         .crossJoin(dvocab["n_records"].select(F.col("n_docs").alias("n_records")))
         .collect()[0]
     )
+    base_vocab = store.read_part(gen, "vocab")
     drift1 = _combined_stop_drift(
-        store.read_part(gen, "vocab_turns"), dvocab["turn_df"],
-        totals["n_turns_total"], d_tot["n_turns_total"],
+        base_vocab.select("token", "tdf"), dvocab["turn_df"],
+        st["n_turns_total"], d_tot["n_turns_total"],
         TURN_STOP_DF, "tdf",
     )
     drift2 = _combined_stop_drift(
-        store.read_part(gen, "vocab_records"), dvocab["record_df"],
-        totals["n_records"], d_tot["n_records"],
+        base_vocab.select("token", "df"), dvocab["record_df"],
+        st["n_records"], d_tot["n_records"],
         STOP_TOKEN_DF, "df",
     )
     drifted = [r.token for r in drift1.union(drift2).limit(20).collect()]
@@ -774,38 +791,21 @@ def incremental_er_update(
     store.commit_part(new_gen, "clusters", overlay, ph)
     _mark("commit_clusters_overlay")
 
-    # combined vocabulary for the NEXT generation's drift check
-    bvt = store.read_part(gen, "vocab_turns")
-    cvt = (
-        bvt.join(dvocab["turn_df"], "token", "full")
+    # combined vocabulary for the NEXT generation's drift check — one
+    # full-outer merge of the delta's two DF aggregates into the single
+    # (token, tdf, df) stage; totals/stops ride the pointer JSON
+    dv = dvocab["turn_df"].join(dvocab["record_df"], "token", "full")
+    merged = (
+        base_vocab.join(dv, "token", "full")
         .select(
             "token",
-            (F.coalesce(bvt["tdf"], F.lit(0))
-             + F.coalesce(dvocab["turn_df"]["tdf"], F.lit(0))).alias("tdf"),
+            (F.coalesce(base_vocab["tdf"], F.lit(0))
+             + F.coalesce(dv["tdf"], F.lit(0))).alias("tdf"),
+            (F.coalesce(base_vocab["df"], F.lit(0))
+             + F.coalesce(dv["df"], F.lit(0))).alias("df"),
         )
     )
-    store.commit_part(new_gen, "vocab_turns", cvt, ph)
-    bvr = store.read_part(gen, "vocab_records")
-    cvr = (
-        bvr.join(dvocab["record_df"], "token", "full")
-        .select(
-            "token",
-            (F.coalesce(bvr["df"], F.lit(0))
-             + F.coalesce(dvocab["record_df"]["df"], F.lit(0))).alias("df"),
-        )
-    )
-    store.commit_part(new_gen, "vocab_records", cvr, ph)
-    store.commit_part(
-        new_gen,
-        "totals",
-        spark.createDataFrame(
-            [(totals["n_turns_total"] + d_tot["n_turns_total"],
-              totals["n_records"] + d_tot["n_records"])],
-            "n_turns_total bigint, n_records bigint",
-        ),
-        ph,
-    )
-    store.commit_part(new_gen, "stops", stops, ph)
+    store.commit_part(new_gen, "vocab", merged, ph)
     _mark("commit_vocab")
 
     report = {
@@ -827,7 +827,16 @@ def incremental_er_update(
             {n: round(t - _marks[i][1], 3)
              for i, (n, t) in enumerate(_marks[1:])}
         )
-    store._publish({"generation": new_gen, "params_hash": ph})
+    store._publish(
+        {
+            "generation": new_gen,
+            "params_hash": ph,
+            "n_turns_total": st["n_turns_total"] + int(d_tot["n_turns_total"]),
+            "n_records": st["n_records"] + int(d_tot["n_records"]),
+            "stop1": st["stop1"],
+            "stop": st["stop"],
+        }
+    )
     _atomic_write_json(store.root / f"er_g{new_gen}_report.json", report)
     return report
 
