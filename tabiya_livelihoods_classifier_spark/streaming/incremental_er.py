@@ -421,11 +421,17 @@ def incremental_er_update(
     _mark("delta_records_ridcheck")
 
     # ---- exactness certificate: combined stop sets == frozen stop sets
-    d_tot = (
+    d_row = (
         dvocab["n_turns_total"]
         .crossJoin(dvocab["n_records"].select(F.col("n_docs").alias("n_records")))
         .collect()[0]
     )
+    # an EMPTY delta (e.g. a caller-side filter matched nothing) yields
+    # null aggregates; the fold is then a no-op generation, not a crash
+    d_tot = {
+        "n_turns_total": int(d_row["n_turns_total"] or 0),
+        "n_records": int(d_row["n_records"] or 0),
+    }
     base_vocab = store.read_part(gen, "vocab")
     drift1 = _combined_stop_drift(
         base_vocab.select("token", "tdf"), dvocab["turn_df"],
@@ -831,8 +837,8 @@ def incremental_er_update(
         {
             "generation": new_gen,
             "params_hash": ph,
-            "n_turns_total": st["n_turns_total"] + int(d_tot["n_turns_total"]),
-            "n_records": st["n_records"] + int(d_tot["n_records"]),
+            "n_turns_total": st["n_turns_total"] + d_tot["n_turns_total"],
+            "n_records": st["n_records"] + d_tot["n_records"],
             "stop1": st["stop1"],
             "stop": st["stop"],
         }

@@ -240,6 +240,18 @@ def test_streaming_available_now_folds_new_files_only(spark, tmp_path):
     assert _clusters_dict(store.clusters()) == full
 
 
+def test_empty_delta_is_a_noop_generation(spark, tmp_path):
+    _, base_t, _ = _split_xs(spark)
+    store = ERStateStore(spark, tmp_path / "state")
+    commit_er_state(spark, store, base_t)
+    before = _clusters_dict(store.clusters())
+
+    report = incremental_er_update(spark, store, base_t.limit(0))
+    assert report["generation"] == 1
+    assert report["n_delta_records"] == 0
+    assert _clusters_dict(store.clusters()) == before
+
+
 def test_crash_mid_update_leaves_state_readable_and_retryable(
     spark, tmp_path, monkeypatch
 ):
