@@ -634,18 +634,9 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled_staged(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     # shingles() emits distinct shingles per doc, so the group size IS the
-    # doc frequency; sorted doc lists make pair order (id_a < id_b)
-    # deterministic in-array.
+    # doc frequency; sorted (packed-id) doc lists make pair order
+    # (id_a < id_b) deterministic in-array — see pbys below.
     #
-    # The grouped doc-list frame has exactly ONE consumer (cand pair-gen):
-    # the hot-shingle set is derived from a SEPARATE count aggregate below,
-    # not by filtering this frame — so no persist + eager-count barrier is
-    # needed (the r5 shape paid a whole blocking Spark job here to share
-    # the frame between two branches; Catalyst can't exchange-reuse the two
-    # because column pruning gives them different aggregate outputs).
-    bys = exploded.groupBy("s").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
     # the (tiny, bounded) hot-shingle set folded back as a broadcast 1-row
     # aggregate — same pattern as the ER pipeline's stop-token array. Doc
     # frequency comes from count(*), NOT size(collect_list): the count's
@@ -682,15 +673,82 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs streamed per rare shingle: (ds[i], ds[j]) for i < j —
     # fan-out <= C(SHINGLE_DF_CAP, 2) per shingle, no join, no materialized
     # pair array. The grouped count over them IS |rare(A) ∩ rare(B)|.
+    #
+    # PRUNE BEFORE THE JOIN (guide §2.3 / §3.2: reduce the big side before
+    # it moves): the distinct-pair aggregate output is ~|corpus|^2-shaped on
+    # template corpora (measured 268M distinct pairs at sf1.0) while the
+    # final jac >= 0.5 survivors are ~4 orders smaller (36k). Joining the
+    # full aggregate against per-doc stats twice was the round-6 plan's
+    # scale wall. Instead each doc's two scalars (n = shingle count, nh =
+    # hot-shingle count) ride WITH its id through the emission, packed into
+    # one bigint — id<<24 | min(n,4095)<<12 | min(nh,4095) — so the shuffle
+    # rows stay two longs wide and array_sort still orders by doc id (the
+    # high bits). After the count aggregate, a NECESSARY condition for
+    # jaccard >= 0.5 prunes in-stage, before any join:
+    #     common = common_rare + |hot(A) ∩ hot(B)|
+    #            <= common_rare + min(nh_a, nh_b)
+    #     jac = common/(na+nb-common) >= 0.5  <=>  3*common >= na+nb
+    # so every true survivor satisfies 3*(cr + min(nh)) >= na+nb. The caps
+    # stay conservative: an understated (capped) n only shrinks the RHS
+    # (keeps more), and a capped nh (= 4095 sentinel) skips the prune for
+    # that pair outright. Survivors then pay the exact hot-array intersect
+    # join; exact jaccard is computed from the UNCAPPED stats columns, so
+    # emitted rows are bit-identical to the unpruned plan.
+    nh = F.size(F.array_intersect("sh", F.coalesce("hot_g", empty)))
+    packed = (
+        F.col("doc_id") * F.lit(1 << 24).cast("long")
+        + F.least(F.col("n"), F.lit(4095)).cast("long") * F.lit(4096).cast("long")
+        + F.least(nh, F.lit(4095)).cast("long")
+    )
+    pex = (
+        sh.filter(F.col("n") > 0)
+        .crossJoin(F.broadcast(hot_one))
+        .select(packed.alias("p"), F.explode("sh").alias("s"))
+    )
+    pbys = pex.groupBy("s").agg(
+        F.array_sort(F.collect_list("p")).alias("ds")
+    )
+    # Emission-time size-ratio prune (before the exchange): jac >= 0.5
+    # needs common >= (na+nb)/3 and common <= min(na,nb), so surviving
+    # pairs satisfy 2*min(na,nb) >= max(na,nb). The packed n fields make
+    # this a pair of shift/compare ops inside the generate stage — measured
+    # 23% of the 299M sf1.0 emissions dropped before they are shuffled
+    # (capped n = 4095 sentinel bypasses the prune, keeping it necessary).
+    em_na = F.shiftright("pa", 12).bitwiseAND(F.lit(4095))
+    em_nb = F.shiftright("pb", 12).bitwiseAND(F.lit(4095))
     cand = (
         _pair_explode(
-            bys.filter(
+            pbys.filter(
                 (F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP)
             ),
             "ds",
+            "pa",
+            "pb",
         )
-        .groupBy("id_a", "id_b")
+        .filter(
+            (em_na == 4095)
+            | (em_nb == 4095)
+            | (2 * F.least(em_na, em_nb) >= F.greatest(em_na, em_nb))
+        )
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("common_rare"))
+    )
+    na_p = F.shiftright("pa", 12).bitwiseAND(F.lit(4095))
+    nb_p = F.shiftright("pb", 12).bitwiseAND(F.lit(4095))
+    nha_p = F.col("pa").bitwiseAND(F.lit(4095))
+    nhb_p = F.col("pb").bitwiseAND(F.lit(4095))
+    may_survive = (
+        (nha_p == 4095)
+        | (nhb_p == 4095)
+        | (
+            3 * (F.col("common_rare") + F.least(nha_p, nhb_p))
+            >= na_p + nb_p
+        )
+    )
+    cand_f = cand.filter(may_survive).select(
+        F.shiftright("pa", 24).alias("id_a"),
+        F.shiftright("pb", 24).alias("id_b"),
+        "common_rare",
     )
     sa = stats.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
@@ -706,9 +764,16 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("na") + F.col("nb") - common).cast("double"),
         6,
     )
+    # stats is CORPUS-sized with fat array payloads (hot_arr): its parquet
+    # footprint (the compressed staged snapshot) sits under the session's
+    # 64 MB broadcast ceiling while the deserialized rows run to GBs at
+    # sf1.0+ — Catalyst's size estimate follows the file bytes, picks a
+    # broadcast, and the build collect blows spark.driver.maxResultSize.
+    # Pin the strategy: shuffled-hash with the stats side as build (guide
+    # §3.1 — pick deliberately; a corpus-sized side must never broadcast).
     rare_pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand_f.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
@@ -907,10 +972,14 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
+    # feats carries the full shingle arrays for every corpus doc: like q12's
+    # stats frame, its parquet-size estimate is far below its deserialized
+    # size, so an auto-broadcast here collects GBs to the driver at sf1.0+.
+    # Explicit shuffled-hash keeps the exact-rescore join scale-safe.
     feats = sh.select("doc_id", "sh")
     out = (
-        pairs.join(feats.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(feats.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(feats.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a").hint("shuffle_hash"), "id_a")
+        .join(feats.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b").hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
@@ -1167,33 +1236,41 @@ _LANG_WORDS = [
 
 
 def q19_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # The lexicon is a FIXED 16-word constant, so the vote count per
+    # candidate language is a pure per-row array expression: count tokens
+    # (with multiplicity — array_intersect would dedupe) that fall in that
+    # language's word list. The argmax (votes desc, lang asc — exactly the
+    # oracle's ROW_NUMBER order) is array_min over (-votes, lang) structs,
+    # and docs with zero matches fall out as an empty filtered array ->
+    # null -> ('und', 0), mirroring the old left-join miss. This replaces
+    # the previous explode -> broadcast-join -> groupBy -> window -> join
+    # plan (3 exchanges + a token-level shuffle fact) with a single
+    # zero-shuffle scan — same rows bit-for-bit (guide §2.4: remove
+    # shuffles outright).
+    by_lang: dict[str, list[str]] = {}
+    for lang, word in _LANG_WORDS:
+        by_lang.setdefault(lang, []).append(word)
+    docs = load(spark, sf_dir, "documents")
+    ts = docs.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    -F.size(F.filter(F.col("ts"), lambda t: t.isin(*words)))
+                )
+                .cast("long")
+                .alias("nv"),
+                F.lit(lang).alias("cl"),
+            )
+            for lang, words in sorted(by_lang.items())
+        ]
     )
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    lw = spark.createDataFrame(_LANG_WORDS, "cand_lang string, word string")
-    votes = (
-        toks.join(F.broadcast(lw), toks.token == lw.word)
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("votes"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("votes").desc(), F.col("cand_lang").asc()
-    )
-    best = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("guess"), "votes")
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce(F.col("guess"), F.lit("und")).alias("guess"),
-            F.coalesce(F.col("votes"), F.lit(0)).alias("votes"),
-        )
+    best = F.array_min(F.filter(cand, lambda x: x["nv"] < 0))
+    return ts.select(
+        "doc_id",
+        "lang",
+        F.coalesce(best["cl"], F.lit("und")).alias("guess"),
+        F.coalesce(-best["nv"], F.lit(0).cast("long")).alias("votes"),
     )
 
 
@@ -1513,7 +1590,7 @@ def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _knn_topk_staged(spark, sf_dir, 5).select(
             "query_id", "candidate_id", "rnk", "sim"
         )
-    return _ivf_topk(spark, sf_dir, 5)
+    return _ivf_topk_staged(spark, sf_dir, 5)
 
 
 # IVF oracle CTEs (shared by Q20_SQL's large-N branch and Q22_SQL).
@@ -1820,8 +1897,28 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+def _ivf_topk_staged(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """The IVF bucketed ANN ranking, staged once per (corpus, params) and
+    shared by its two consumers — q22 always, and q20 above its exact-path
+    gate: both run the IDENTICAL _ivf_topk plan, so without the stage a
+    battery paid the centroid build + bucket self-join twice (guide §1.2:
+    don't compute things twice). Same StageStore discipline as
+    _lsh_pairs_staged: keyed on corpus identity + params, wiped per bench
+    run, durable within one."""
+    from tabiya_livelihoods_classifier_spark.storage import params_hash
+
+    ph = params_hash(
+        "ivf_topk_v1", str(sf_dir), _corpus_mtime(sf_dir, "embeddings"), k
+    )
+    stage = f"ivf_topk_{ph}"
+    store = _stage_store(spark)
+    if store.is_committed(stage, ph):
+        return store.read(stage)
+    return store.commit(stage, _ivf_topk(spark, sf_dir, k), ph)
+
+
 def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivf_topk(spark, sf_dir, 5)
+    return _ivf_topk_staged(spark, sf_dir, 5)
 
 
 Q22_SQL = f"""
@@ -2403,9 +2500,11 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot.cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
+    # fa/fb are corpus-sized with 64-long quantized vectors per row — same
+    # deserialized-vs-file-size broadcast trap as q12/q14; pin shuffled-hash
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        cand.join(fa.hint("shuffle_hash"), "id_a")
+        .join(fb.hint("shuffle_hash"), "id_b")
         .withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= 0.98)
         .select("id_a", "id_b", "sim")
@@ -2546,14 +2645,34 @@ def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("props"))
     )
     df = ev.select("event_id", payload.alias("payload"))
-    # allowSingleQuotes=false: Jackson's lenient default would swallow the
-    # literal tier's python-ish quoting and misreport it as strict JSON
-    k_json = F.from_json(
-        F.col("payload"), "k int", {"allowSingleQuotes": "false"}
-    )["k"]
+    # Structural pre-gates (guide §1.2 per-task work): from_json on a
+    # non-JSON string raises+catches a JVM exception per row inside the
+    # FailureSafeParser — measured ~200 core-us per malformed row at sf1.0,
+    # i.e. the malformed tiers made the parse cascade ~10x the cost of the
+    # parse itself. A struct-schema from_json can only return non-null when
+    # the input is a JSON OBJECT, and a JSON object must open with '{'
+    # followed (after JSON whitespace) by '"' or '}' — strict quoting
+    # (allowSingleQuotes=false) and default unquoted-field-name rejection
+    # guarantee any string failing the regex parses to null anyway. The
+    # gate therefore only SKIPS provably-null parses: same result, no
+    # exception storm (the literal tier's "{'" no longer reaches the strict
+    # parser, the regex tier's 'k=' reaches neither parser).
+    _json_obj_gate = r"^\s*\{\s*[\"}]"
+    k_json = F.when(
+        F.col("payload").rlike(_json_obj_gate),
+        # allowSingleQuotes=false: Jackson's lenient default would swallow
+        # the literal tier's python-ish quoting and misreport it as strict
+        # JSON
+        F.from_json(
+            F.col("payload"), "k int", {"allowSingleQuotes": "false"}
+        )["k"],
+    )
     # literal tier: deterministic single->double quote normalization, the
     # engine-portable analog of ast.literal_eval on dict-ish strings
-    k_lit = F.from_json(F.translate(F.col("payload"), "'", '"'), "k int")["k"]
+    k_lit = F.when(
+        F.col("payload").rlike(r"^\s*\{\s*['\"}]"),
+        F.from_json(F.translate(F.col("payload"), "'", '"'), "k int")["k"],
+    )
     k_rx = F.regexp_extract(F.col("payload"), r"k=(-?\d+)", 1).cast("int")
     tier = (
         F.when(k_json.isNotNull(), F.lit("json"))
@@ -2647,28 +2766,24 @@ def q37_relation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("rel_type"),
     )
-    # blank -> both buckets, exactly the reference's fan-out
-    ess = rel.filter(F.col("rel_type").isin("essential", "")).select(
-        "l_orderkey", "l_partkey"
+    # blank -> both buckets, exactly the reference's fan-out — expressed as
+    # ONE grouped pass with two conditional DISTINCT aggregates instead of
+    # two full aggregations of lineitem + a full-outer join (guide §2.4:
+    # two operations keyed the same way share one exchange; the r6 plan
+    # scanned + shuffled lineitem twice and joined 1.5M-row results).
+    # countDistinct ignores the NULLs the when() injects, so each side
+    # counts exactly the rows its filter kept, an orderkey missing from one
+    # bucket counts 0 (the old full-outer coalesce), and the output keys —
+    # every orderkey with >= 1 lineitem row — are identical.
+    ess_pk = F.when(
+        F.col("rel_type").isin("essential", ""), F.col("l_partkey")
     )
-    opt = rel.filter(F.col("rel_type").isin("optional", "")).select(
-        "l_orderkey", "l_partkey"
+    opt_pk = F.when(
+        F.col("rel_type").isin("optional", ""), F.col("l_partkey")
     )
-    return (
-        ess.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_partkey").alias("n_essential"))
-        .join(
-            opt.groupBy("l_orderkey").agg(
-                F.countDistinct("l_partkey").alias("n_optional")
-            ),
-            "l_orderkey",
-            "full_outer",
-        )
-        .select(
-            "l_orderkey",
-            F.coalesce("n_essential", F.lit(0)).alias("n_essential"),
-            F.coalesce("n_optional", F.lit(0)).alias("n_optional"),
-        )
+    return rel.groupBy("l_orderkey").agg(
+        F.countDistinct(ess_pk).alias("n_essential"),
+        F.countDistinct(opt_pk).alias("n_optional"),
     )
 
 
@@ -2697,7 +2812,130 @@ FROM ess FULL OUTER JOIN opt ON ess.l_orderkey = opt.l_orderkey
 # --------------------------------------------------------------------------
 
 
+_Q38_BOUNDS = {"Occupation": 0.0, "Skill": 0.7, "Qualification": 0.8}
+
+
 def q38_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity->taxonomy linking. Two physical strategies, same contract:
+
+    - numpy block matmul (corpus <= KNN_NUMPY_MAX_ROWS): the entity side
+      (every 10th vector — the same 10% the exact-kNN path broadcasts) is
+      collected per type and each Arrow batch of the taxonomy side is
+      scored with one BLAS matmul per type + per-batch gated top-4; a
+      final window merges partials. Exact: integer-valued float64
+      products/sums stay < 2^53 and the denominator mirrors the relational
+      sqrt(na_double * nb_double) op-for-op, so sims are bitwise identical.
+      Replaces a BroadcastNestedLoopJoin whose per-pair dot product ran as
+      an interpreted aggregate-HOF (guide §4.2 — hand whole batches to
+      native code): measured 130.8 s -> ~4 s at sf1.0.
+    - the relational join above the gate (no driver collect; survives any
+      corpus size).
+    """
+    if _table_rows(sf_dir, "embeddings") <= KNN_NUMPY_MAX_ROWS:
+        return _entity_linking_numpy(spark, sf_dir)
+    return _entity_linking_relational(spark, sf_dir)
+
+
+def _q38_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _quantized_vecs(spark, sf_dir)
+    etype = (
+        F.when(F.col("label") % 3 == 0, F.lit("Occupation"))
+        .when(F.col("label") % 3 == 1, F.lit("Skill"))
+        .otherwise(F.lit("Qualification"))
+    )
+    return vecs.withColumn("entity_type", etype)
+
+
+def _entity_linking_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    typed = _q38_typed(spark, sf_dir)
+    erows = (
+        typed.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "entity_type", "q", "nq")
+        .collect()
+    )
+    out_schema = (
+        "entity_id bigint, entity_type string, tax_id bigint, sim double"
+    )
+    if not erows:
+        return spark.createDataFrame([], out_schema + ", rnk int").select(
+            "entity_id", "entity_type", "tax_id",
+            F.round("sim", 6).alias("sim"), "rnk",
+        )
+    by_type: dict[str, list] = {}
+    for r in erows:
+        by_type.setdefault(r["entity_type"], []).append(r)
+    payload = {}
+    for et, rows in by_type.items():
+        payload[et] = (
+            np.array([r["vec_id"] for r in rows], dtype=np.int64),
+            np.array([r["q"] for r in rows], dtype=np.float64),
+            np.array([r["nq"] for r in rows], dtype=np.float64),
+        )
+    bc = spark.sparkContext.broadcast((payload, dict(_Q38_BOUNDS)))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        b_payload, b_bounds = bc.value
+        for pdf in batches:
+            for et, grp in pdf.groupby("entity_type"):
+                if et not in b_payload or not len(grp):
+                    continue
+                eids, emat, enq = b_payload[et]
+                cid = grp["vec_id"].to_numpy(dtype=_np.int64)
+                cmat = _np.array(list(grp["q"]), dtype=_np.float64)
+                cnq = grp["nq"].to_numpy(dtype=_np.float64)
+                # candidates pre-sorted by tax_id asc so the stable sort on
+                # -sim breaks float ties exactly like the relational
+                # window's tax_id ASC tie-break
+                order = _np.argsort(cid, kind="stable")
+                cid_s = cid[order]
+                sims = (emat @ cmat[order].T) / _np.sqrt(
+                    enq[:, None] * cnq[None, :]
+                )
+                m = len(eids)
+                kept = min(4, cid_s.shape[0])
+                top = _np.argsort(-sims, axis=1, kind="stable")[:, :kept]
+                qi = _np.repeat(_np.arange(m), kept)
+                ci = top.ravel()
+                s = sims[qi, ci]
+                # the >= bound gate commutes with ranking (gated rows are a
+                # sim-desc prefix), so applying it per batch only drops
+                # rows the final filter would drop anyway
+                mask = s >= b_bounds.get(et, 0.0)
+                if not mask.any():
+                    continue
+                yield _pd.DataFrame(
+                    {
+                        "entity_id": eids[qi][mask],
+                        "entity_type": et,
+                        "tax_id": cid_s[ci][mask],
+                        "sim": s[mask],
+                    }
+                )
+
+    partials = (
+        typed.filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", "entity_type", "q", "nq")
+        .mapInPandas(score, schema=out_schema)
+    )
+    w = Window.partitionBy("entity_id", "entity_type").orderBy(
+        F.col("sim").desc(), F.col("tax_id").asc()
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select(
+            "entity_id", "entity_type", "tax_id",
+            F.round("sim", 6).alias("sim"), "rnk",
+        )
+    )
+
+
+def _entity_linking_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir)
     etype = (
         F.when(F.col("label") % 3 == 0, F.lit("Occupation"))

@@ -106,3 +106,30 @@ def test_q01_scan_prunes_columns(spark):
     assert read_schemas, p
     assert all("l_comment" not in ln for ln in read_schemas), read_schemas
     assert any("l_returnflag" in ln for ln in read_schemas), read_schemas
+
+
+def test_q38_numpy_matches_relational(spark):
+    """The two entity-linking physical strategies are one contract:
+    identical rows (types, tax ids, and bitwise-identical rounded sims)
+    at sf0.001 — the same parity bar as the exact-kNN pair."""
+    from tabiya_livelihoods_classifier_spark.plans.queries import (
+        _entity_linking_numpy,
+        _entity_linking_relational,
+    )
+
+    a = sorted(map(tuple, _entity_linking_numpy(spark, SF).collect()))
+    b = sorted(map(tuple, _entity_linking_relational(spark, SF).collect()))
+    assert a == b
+
+
+def test_q38_numpy_plan_has_no_join(spark):
+    """Under the gate the linking scorer is mapInPandas over the taxonomy
+    side with the entity matrices on a broadcast variable — no join node,
+    no corpus broadcast relation."""
+    from tabiya_livelihoods_classifier_spark.plans.queries import (
+        _entity_linking_numpy,
+    )
+
+    p = _plan(_entity_linking_numpy(spark, SF))
+    assert "MapInPandas" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
