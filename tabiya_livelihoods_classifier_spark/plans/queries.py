@@ -1334,10 +1334,14 @@ ranked AS (
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan the vectors across all cores: single-file scan = 1 task, and every
-    # consumer streams these rows through dot-product crossJoins
+    # fan the vectors across cores: single-file scan = 1 task, and every
+    # consumer runs matmul/dot-product-heavy work per row — vector bytes
+    # are ~100x denser in compute than the text tables, so the fan-out
+    # budget is 1 MB/task, not the default 8 MB (at sf1.0 the 5.9 MB
+    # embeddings file otherwise quantizes AND block-matmuls in ONE task)
     emb = load(spark, sf_dir, "embeddings").repartition(
-        _fanout_partitions(spark, sf_dir, "embeddings"), "vec_id"
+        _fanout_partitions(spark, sf_dir, "embeddings", per_task_bytes=1 << 20),
+        "vec_id",
     )
     q = F.transform(
         F.col("embedding"),
@@ -1826,6 +1830,29 @@ FROM fin
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """IVF bucketed ANN: relational centroid assignment (broadcast centroid
+    table, one window), then per-bucket exact top-k. The in-bucket scorer
+    has two strategies under one contract (same split as q38/_knn_topk):
+
+    - per-bucket numpy matmul under KNN_NUMPY_MAX_ROWS: a query's
+      candidate set is EXACTLY its bucket, so one applyInPandas over the
+      bucket groups computes the final gated top-k directly — one BLAS
+      matmul per (bucket, query-chunk), no 4M-row pair join, no window.
+      Exact: integer-valued float64 products < 2^53, denominator
+      op-for-op the relational sqrt, stable argsort over candidates
+      pre-sorted by id reproduces the (sim desc, candidate_id asc)
+      window order, self-matches excluded via -inf like _knn_topk_numpy.
+      Replaces ~|bucket|^2 interpreted aggregate-HOF dot products
+      (guide §4.2): measured ~22 s -> ~6 s at sf1.0.
+    - the relational bucket join above the gate (shuffles, never collects).
+    """
+    assigned = _ivf_assigned(spark, sf_dir)
+    if _table_rows(sf_dir, "embeddings") <= KNN_NUMPY_MAX_ROWS:
+        return _ivf_score_numpy(assigned, k)
+    return _ivf_score_relational(assigned, k)
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantized_vecs(spark, sf_dir)
     # centroids: elementwise mean of quantized vectors per label, requantized
     cent = (
@@ -1857,13 +1884,83 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("c_label").asc()
     )
-    assigned = (
+    return (
         vecs.crossJoin(F.broadcast(cent))
         .withColumn("csim", sim_c)
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") == 1)
         .select("vec_id", "label", "q", "nq", F.col("c_label").alias("bucket"))
     )
+
+
+def _ivf_score_numpy(assigned: DataFrame, k: int) -> DataFrame:
+    out_schema = "query_id bigint, candidate_id bigint, rnk int, sim double"
+    kk = int(k)
+
+    def score(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        cid = pdf["vec_id"].to_numpy(_np.int64)
+        order = _np.argsort(cid, kind="stable")
+        cid = cid[order]
+        cmat = _np.array(list(pdf["q"]), dtype=_np.float64)[order]
+        cnq = pdf["nq"].to_numpy(_np.float64)[order]
+        is_q = cid % 10 == 0
+        qid = cid[is_q]
+        if not len(qid):
+            return _pd.DataFrame(
+                {"query_id": [], "candidate_id": [], "rnk": [], "sim": []}
+            ).astype(
+                {"query_id": "int64", "candidate_id": "int64",
+                 "rnk": "int32", "sim": "float64"}
+            )
+        qmat, qnq = cmat[is_q], cnq[is_q]
+        outs = []
+        # chunk the query rows so the sims matrix stays bounded
+        # (<= 512 x |bucket| float64) no matter how big the bucket is
+        for lo in range(0, len(qid), 512):
+            hi = min(lo + 512, len(qid))
+            sims = (qmat[lo:hi] @ cmat.T) / _np.sqrt(
+                qnq[lo:hi, None] * cnq[None, :]
+            )
+            sims[qid[lo:hi, None] == cid[None, :]] = -_np.inf  # self-match
+            kept = min(kk + 1, cid.shape[0])
+            top = _np.argsort(-sims, axis=1, kind="stable")[:, :kept]
+            s = _np.take_along_axis(sims, top, axis=1)
+            finite = _np.isfinite(s)
+            rnk = _np.cumsum(finite, axis=1)  # rank among non-self rows
+            keep = (finite & (rnk <= kk)).ravel()
+            if not keep.any():
+                continue
+            m = hi - lo
+            qi = _np.repeat(_np.arange(lo, hi), kept)
+            outs.append(
+                _pd.DataFrame(
+                    {
+                        "query_id": qid[qi][keep],
+                        "candidate_id": cid[top.ravel()][keep],
+                        "rnk": rnk.ravel()[keep].astype(_np.int32),
+                        "sim": s.ravel()[keep],
+                    }
+                )
+            )
+        if not outs:
+            return _pd.DataFrame(
+                {"query_id": [], "candidate_id": [], "rnk": [], "sim": []}
+            ).astype(
+                {"query_id": "int64", "candidate_id": "int64",
+                 "rnk": "int32", "sim": "float64"}
+            )
+        return _pd.concat(outs, ignore_index=True)
+
+    scored = assigned.groupBy("bucket").applyInPandas(score, schema=out_schema)
+    return scored.select(
+        "query_id", "candidate_id", "rnk", F.round("sim", 6).alias("sim")
+    )
+
+
+def _ivf_score_relational(assigned: DataFrame, k: int) -> DataFrame:
     a = assigned.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
@@ -2447,34 +2544,34 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    # zero-norm exclusion (same NaN-parity rationale as _quantized_vecs)
+    # zero-norm exclusion (same NaN-parity rationale as _quantized_vecs).
+    # Fan-out stays at the default byte budget: q34's cost is in the
+    # band-join shuffles, not the scan, and an A/B at sf1.0 (str/int keys
+    # x 1/6 scan partitions, interleaved twice) showed the wider scan
+    # consistently ~8 s SLOWER (more exchange-reuse consumers re-reading
+    # the wider shuffle) with no compute win.
     vecs = (
         vecs.withColumn("nq", nq)
         .filter(F.col("nq") > 0)
         .repartition(_fanout_partitions(spark, sf_dir, "embeddings"), "vec_id")
     )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(f"b{j}"),
-                F.concat_ws(
-                    "",
-                    *[
-                        F.when(
-                            F.element_at(
-                                F.col("q"), j * _NEARDUP_BAND_BITS + i + 1
-                            )
-                            > 0,
-                            F.lit("1"),
-                        ).otherwise(F.lit("0"))
-                        for i in range(_NEARDUP_BAND_BITS)
-                    ],
-                ),
-            )
-            for j in range(_NEARDUP_BANDS)
-        ]
-    )
+    # band key as a PACKED INT (band index in the high bits, the band's
+    # sign bits below): the bucketing partition is identical to the old
+    # 'b{j}|01011010' string form — the key never leaves this plan — but
+    # the equi-join hashes/compares 4-byte ints instead of ~11-char
+    # strings and the band-membership shuffle shrinks accordingly
+    # (guide §2.3: narrower types).
+    def _band_int(j: int) -> Column:
+        bits = None
+        for i in range(_NEARDUP_BAND_BITS):
+            b = F.when(
+                F.element_at(F.col("q"), j * _NEARDUP_BAND_BITS + i + 1) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        return F.lit(j * (1 << _NEARDUP_BAND_BITS)) + bits
+
+    band_keys = F.array(*[_band_int(j) for j in range(_NEARDUP_BANDS)])
     bands = vecs.select("vec_id", F.explode(band_keys).alias("bk"))
     ba = bands.alias("ba")
     bb = bands.hint("shuffle_hash").alias("bb")
