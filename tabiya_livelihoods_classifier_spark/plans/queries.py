@@ -458,6 +458,30 @@ def _fanout_partitions(
     return max(1, min(cores, -(-nbytes // per_task_bytes)))
 
 
+_TABLE_ID_COL = {
+    "documents": "doc_id", "events": "event_id", "part": "p_partkey",
+    "orders": "o_orderkey", "customer": "c_custkey",
+    "embeddings": "vec_id", "lineitem": "l_orderkey",
+}
+
+
+def _cpu_fanout(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str | None = None,
+    per_task_bytes: int = 256 << 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Fan a CPU-dense per-row query across cores. The local test parquet
+    holds ONE row group per table, so (despite files.minPartitionNum) a
+    single task does all the work of any no-shuffle query — measured: q36's
+    1M-row JSON parse cascade ran single-threaded at sf1.0. Per-task budget
+    is small (default 256 KB) because these rows are parse/hash-dense, not
+    scan-dense; the byte-adaptive cap (_fanout_partitions) keeps tiny
+    corpora at 1 task and real corpora at defaultParallelism, where input
+    splits dominate anyway (same rationale as _perturbed_corpus)."""
+    n = _fanout_partitions(spark, sf_dir, table, per_task_bytes)
+    key = id_col or _TABLE_ID_COL[table]
+    return lambda df: df.repartition(n, key) if n > 1 else df
+
+
 def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group local parquet = 1 scan task; fan the corpus out so
     # the tokenize/shingle/minhash pipelines downstream use every core (at
@@ -1130,7 +1154,9 @@ FROM bits GROUP BY doc_id
 
 
 def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     ts = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1154,7 +1180,9 @@ FROM documents
 
 
 def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     ts = tokens(F.col("text"))
     sum_len = F.aggregate(
         F.transform(ts, lambda t: F.length(t).cast("long")),
@@ -1189,7 +1217,9 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
 def q18_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     ts = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t)))
@@ -1250,7 +1280,9 @@ def q19_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_lang: dict[str, list[str]] = {}
     for lang, word in _LANG_WORDS:
         by_lang.setdefault(lang, []).append(word)
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     ts = docs.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
     cand = F.array(
         *[
@@ -2354,21 +2386,24 @@ FROM events GROUP BY user_id
 #      first/oldest + last/newest, count entries (3_2b...py:249-258)
 # --------------------------------------------------------------------------
 
-_UUID_FMT_SPARK = (
-    "concat(substr(md5(concat(p_name, ':', i)), 1, 8), '-', "
-    "substr(md5(concat(p_name, ':', i)), 9, 4), '-', "
-    "substr(md5(concat(p_name, ':', i)), 13, 4), '-', "
-    "substr(md5(concat(p_name, ':', i)), 17, 4), '-', "
-    "substr(md5(concat(p_name, ':', i)), 21, 12))"
+# two nested transforms bind the md5 digest to a lambda variable, so each
+# UUID hashes ONCE and the five substr slices read the bound value — the
+# flat form re-evaluated md5 five times per element (the shingles() lesson:
+# lambda bodies re-run their whole expression tree per reference)
+_UUID_ARR_SPARK = (
+    "transform(transform(sequence(0, cast(p_partkey % 3 as int)), "
+    "i -> md5(concat(p_name, ':', i))), "
+    "h -> concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-', "
+    "substr(h, 13, 4), '-', substr(h, 17, 4), '-', substr(h, 21, 12)))"
 )
 
 
 def q30_uuid_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part")
-    hist = F.expr(
-        "array_join(transform(sequence(0, cast(p_partkey % 3 as int)), "
-        f"i -> {_UUID_FMT_SPARK}), '\\n')"
+    # md5-transform-dense rows over a 1-row-group table: fan across cores
+    part = _cpu_fanout(spark, sf_dir, "part", per_task_bytes=128 << 10)(
+        load(spark, sf_dir, "part")
     )
+    hist = F.expr(f"array_join({_UUID_ARR_SPARK}, '\\n')")
     df = part.select("p_partkey", hist.alias("uuidhistory"))
     parts_arr = F.split(F.col("uuidhistory"), "\n")
     return df.select(
@@ -2436,7 +2471,9 @@ def q32_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media_meta,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     media = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -2669,7 +2706,9 @@ def q35_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_entities_df,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
     return extract_entities_df(docs, _EXTRACT_LEXICON)
 
 
@@ -2716,7 +2755,9 @@ FROM ents
 
 
 def q36_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # JSON-parse-dense rows: fan across cores (single-row-group local
+    # parquet = 1 effective scan task; measured single-threaded at sf1.0)
+    ev = _cpu_fanout(spark, sf_dir, "events")(load(spark, sf_dir, "events"))
     kstr = F.get_json_object(F.col("props"), "$.k")
     kint = kstr.cast("int")
     # regex-tier payloads carry a quoted multi-value 'retrieved' list WITH
@@ -3195,7 +3236,9 @@ FROM walk GROUP BY node, ancestor
 def q40_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabiya_livelihoods_classifier_spark.functions.text import sentences
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _cpu_fanout(spark, sf_dir, "documents")(
+        load(spark, sf_dir, "documents")
+    )
     sent_text = F.regexp_replace(F.col("text"), r" (the|a) ", ". ")
     return docs.select(
         "doc_id", F.posexplode(sentences(sent_text)).alias("sent_idx", "sentence")
