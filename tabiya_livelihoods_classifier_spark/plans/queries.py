@@ -94,19 +94,34 @@ def _dec(col: Column, scale: int = 2) -> Column:
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return (
+    # Two-level aggregation instead of COUNT(DISTINCT) in the grouped agg:
+    # a single-pass countDistinct plans an Expand that DOUBLES the 6M-row
+    # fact through the aggregate (one copy per grouping set); pre-grouping
+    # by (flag, status, orderkey) shuffles only the ~1.5M partial rows and
+    # the distinct count falls out as COUNT(*) over groups (guide §2.3:
+    # aggregate before you shuffle). Decimal partial sums re-sum exactly
+    # (decimal addition is exact and associative at these precisions), so
+    # the final doubles are bit-identical to the one-pass form.
+    lvl1 = (
         li.filter(F.col("l_shipdate") <= "1997-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base"),
+            F.sum(_dec(F.col("l_quantity"))).alias("s_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).alias("s_base"),
             F.sum(
                 _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.count("*").alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+            ).alias("s_disc"),
+            F.count("*").alias("c_rows"),
+        )
+    )
+    return (
+        lvl1.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("s_qty").cast("double").alias("sum_qty"),
+            F.sum("s_base").cast("double").alias("sum_base"),
+            F.sum("s_disc").cast("double").alias("sum_disc_price"),
+            F.sum("c_rows").alias("n_rows"),
+            F.count("*").alias("n_orders"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -166,6 +181,11 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    # NOTE: the q01-style two-level countDistinct rewrite was A/B'd here
+    # (3 interleaved runs at sf1.0) and does NOT win: the join chain
+    # dominates and the (r_name, o_orderkey) pre-group shuffles 1.5M
+    # decimal partials where Expand's map-side partial agg was already
+    # compact for 5 region groups. Left as the single-pass form.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -917,9 +937,26 @@ def _minhash_sig_relational(
     )
 
 
-def q13_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-permutation MinHash signature frame, staged once per
+    (corpus, params): q13 emits it and q14's band membership groups it —
+    round 6 ran the explode + 16-way min aggregate twice per battery
+    (guide §1.2: don't compute things twice)."""
+    from tabiya_livelihoods_classifier_spark.storage import params_hash
+
+    ph = params_hash(
+        "minhash_sig_v1", str(sf_dir), _corpus_mtime(sf_dir), 16
+    )
+    stage = f"minhash_sig_{ph}"
+    store = _stage_store(spark)
+    if store.is_committed(stage, ph):
+        return store.read(stage)
     sh = _shingled_staged(spark, sf_dir)
-    return _minhash_sig_relational(spark, sh, 16)
+    return store.commit(stage, _minhash_sig_relational(spark, sh, 16), ph)
+
+
+def q13_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig_staged(spark, sf_dir)
 
 
 Q13_SQL = f"""
@@ -948,6 +985,10 @@ def _band_membership(
     the incremental maintenance (q45) exact: old docs' keys never change
     when new docs arrive."""
     sig = _minhash_sig_relational(spark, sh, num_hashes)
+    return _band_membership_from_sig(sig, band_rows)
+
+
+def _band_membership_from_sig(sig: DataFrame, band_rows: int = 2) -> DataFrame:
     return (
         sig.groupBy(
             "doc_id", (F.col("h") / band_rows).cast("int").alias("band")
@@ -980,7 +1021,9 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band keys built relationally from the exploded signature (same reason
     # as q13: a 16-column HOF signature invites expression duplication).
     # Key format matches operators.blocking.minhash_band_keys: 'b{band}|h0|h1'.
-    mem = _band_membership(spark, sh)
+    # The signature comes from the shared stage q13 also emits, so a
+    # battery computes the 16-way min aggregate once, not twice.
+    mem = _band_membership_from_sig(_minhash_sig_staged(spark, sf_dir))
     # candidate pairs streamed per band bucket (one groupBy of the
     # membership fact instead of a bucket self-join): identical fan-out
     # bound — C(bucket, 2) either way — one fewer shuffle, pair order

@@ -180,11 +180,28 @@ class ERStateStore:
         _atomic_write_json(self._pointer(), meta)
 
     # -- stage io ----------------------------------------------------------
-    def _name(self, gen: int, part: str) -> str:
-        return f"er_g{gen}_{part}"
+    def epoch(self) -> int:
+        """Compaction epoch of the LIVE state (0 before any compaction;
+        absent pointer reads as 0 for pre-epoch stores)."""
+        return self.state().get("epoch", 0) if self.exists() else 0
 
-    def commit_part(self, gen: int, part: str, df: DataFrame, ph: str) -> DataFrame:
-        return self.store.commit(self._name(gen, part), df, ph)
+    def _name(self, gen: int, part: str, epoch: int | None = None) -> str:
+        """Stage name under a compaction epoch. Default epoch = the live
+        pointer's, so readers and the incremental updater always address
+        the published chain; commit_er_state passes the NEXT epoch
+        explicitly so a compaction builds under names the current pointer
+        cannot reach (ADVICE r6: an in-place rebuild left a crashed
+        compaction half-published — mixed new gen-0 stages with the old
+        pointer's chain). Epoch 0 keeps the legacy un-prefixed names."""
+        e = self.epoch() if epoch is None else epoch
+        base = f"er_g{gen}_{part}"
+        return base if e == 0 else f"er_c{e}_{base}"
+
+    def commit_part(
+        self, gen: int, part: str, df: DataFrame, ph: str,
+        epoch: int | None = None,
+    ) -> DataFrame:
+        return self.store.commit(self._name(gen, part, epoch), df, ph)
 
     def read_part(self, gen: int, part: str) -> DataFrame:
         return self.store.read(self._name(gen, part))
@@ -227,7 +244,10 @@ class ERStateStore:
         return self.read_part(self.generation(), "sig_clusters")
 
 
-def _vocab_stage(store: ERStateStore, gen: int, vocab: dict, ph: str) -> None:
+def _vocab_stage(
+    store: ERStateStore, gen: int, vocab: dict, ph: str,
+    epoch: int | None = None,
+) -> None:
     """One (token, tdf, df) stage per generation — the two document-
     frequency aggregates the drift certificate reads, merged so a
     generation costs one vocabulary commit, not two. Scalars (totals) and
@@ -240,7 +260,7 @@ def _vocab_stage(store: ERStateStore, gen: int, vocab: dict, ph: str) -> None:
         F.coalesce(t["tdf"], F.lit(0)).alias("tdf"),
         F.coalesce(r["df"], F.lit(0)).alias("df"),
     )
-    store.commit_part(gen, "vocab", merged, ph)
+    store.commit_part(gen, "vocab", merged, ph, epoch)
 
 
 def _scalar_state(vocab: dict) -> dict:
@@ -269,9 +289,25 @@ def commit_er_state(
     functions, with membership/edges keyed by the stable skey instead of
     sid; partitions and min-rid representatives are unchanged — min over
     sids per component equals min over rids)."""
+    if cfg.max_block_size <= cfg.purge_block_size:
+        # the exactness argument assumes capping never engages on kept
+        # blocks (rows <= residual+1 <= purge_block_size+1); a config where
+        # it does makes salt assignment depend on run-time block size and
+        # silently breaks incremental == batch (ADVICE r6) — refuse.
+        raise ValueError(
+            f"ERConfig.max_block_size ({cfg.max_block_size}) must exceed "
+            f"purge_block_size ({cfg.purge_block_size}): configs where "
+            "cap_block_size engages on kept blocks make the incremental "
+            "fold inexact."
+        )
     ph = params_hash("er_state_v1", cfg.num_hashes, cfg.band_rows,
                      cfg.purge_block_size, cfg.max_block_size,
                      cfg.min_common_blocks, cfg.match_threshold)
+    # Compaction safety (ADVICE r6): build the fresh base under the NEXT
+    # epoch's stage names — unreachable from the live pointer — and flip
+    # the pointer as the last step. A crash mid-compaction leaves the old
+    # chain fully readable; a retry simply rebuilds the same orphan names.
+    ep = (store.epoch() + 1) if store.exists() else 0
     vocab: dict = {}
     records = conversation_records(
         turns,
@@ -306,12 +342,12 @@ def commit_er_state(
     )
     edges = match_edges(score_pairs(pairs, feats, cfg), cfg)
 
-    store.commit_part(0, "records", records, ph)
+    store.commit_part(0, "records", records, ph, ep)
     sig_slim = sig.select("skey", "sid", "name_key", "role_sigs", "n_members")
-    sig_c = store.commit_part(0, "signatures", sig_slim, ph)
-    mem_c = store.commit_part(0, "membership", kept_mem, ph)
-    store.commit_part(0, "purged", purged, ph)
-    edges_c = store.commit_part(0, "edges", edges, ph)
+    sig_c = store.commit_part(0, "signatures", sig_slim, ph, ep)
+    mem_c = store.commit_part(0, "membership", kept_mem, ph, ep)
+    store.commit_part(0, "purged", purged, ph, ep)
+    edges_c = store.commit_part(0, "edges", edges, ph, ep)
 
     sig_cl = connected_components(
         edges_c.select(F.col("id_a"), F.col("id_b")),
@@ -325,17 +361,18 @@ def commit_er_state(
         .agg(F.min("sid").alias("component"))
     )
     sig_cl = sig_cl.join(reps, "comp_skey")
-    sig_cl_c = store.commit_part(0, "sig_clusters", sig_cl, ph)
+    sig_cl_c = store.commit_part(0, "sig_clusters", sig_cl, ph, ep)
 
     clusters = (
         records.join(sig_c.select("skey", "name_key"), "name_key")
         .join(sig_cl_c.select("skey", "component"), "skey")
         .select("rid", "component")
     )
-    store.commit_part(0, "clusters", clusters, ph)
-    _vocab_stage(store, 0, vocab, ph)
+    store.commit_part(0, "clusters", clusters, ph, ep)
+    _vocab_stage(store, 0, vocab, ph, ep)
 
-    meta = {"generation": 0, "params_hash": ph, **_scalar_state(vocab)}
+    meta = {"generation": 0, "epoch": ep, "params_hash": ph,
+            **_scalar_state(vocab)}
     store._publish(meta)
     records.unpersist()
     sig.unpersist()
@@ -388,6 +425,22 @@ def incremental_er_update(
 
     st = store.state()
     gen, ph = st["generation"], st["params_hash"]
+    # cfg must be the EXACT config the state was committed with: a changed
+    # threshold would silently mix old frozen decisions with new ones and
+    # produce a state equal to neither recompute, still stamped with the
+    # old hash (ADVICE r6). Recompute the hash the same way commit does
+    # and demand a compaction on mismatch.
+    want = params_hash("er_state_v1", cfg.num_hashes, cfg.band_rows,
+                       cfg.purge_block_size, cfg.max_block_size,
+                       cfg.min_common_blocks, cfg.match_threshold)
+    if want != ph:
+        raise ValueError(
+            "ERConfig mismatch: the committed state was built with "
+            f"params_hash={ph} but this update's cfg hashes to {want}; "
+            "changing ER parameters requires a compaction "
+            "(commit_er_state on the combined corpus), not an "
+            "incremental fold."
+        )
     new_gen = gen + 1
 
     frozen = (
@@ -412,6 +465,8 @@ def incremental_er_update(
             store.records().select("rid"), "rid", "left_semi"
         ).count()
         if n_dup:
+            d_records.unpersist()  # the drift path unpersists too — do not
+            # leak cache across refused updates in a long-lived session
             raise ValueError(
                 f"{n_dup} delta rid(s) already exist in the committed state: "
                 "incremental_er_update appends NEW conversations; re-ingested "
@@ -836,6 +891,7 @@ def incremental_er_update(
     store._publish(
         {
             "generation": new_gen,
+            "epoch": st.get("epoch", 0),
             "params_hash": ph,
             "n_turns_total": st["n_turns_total"] + d_tot["n_turns_total"],
             "n_records": st["n_records"] + d_tot["n_records"],
@@ -843,7 +899,9 @@ def incremental_er_update(
             "stop": st["stop"],
         }
     )
-    _atomic_write_json(store.root / f"er_g{new_gen}_report.json", report)
+    _atomic_write_json(
+        store.root / f"{store._name(new_gen, 'report')}.json", report
+    )
     return report
 
 
@@ -900,7 +958,9 @@ def compact(
     cfg: ERConfig = ERConfig(),
 ) -> dict:
     """Squash the overlay chain: recommit the combined corpus as a fresh
-    base generation in a NEW root, leaving the old chain readable until the
-    caller swaps pointers. (Kept trivial here; an Iceberg deployment
-    expresses this as a snapshot rewrite.)"""
+    base generation under the NEXT compaction epoch's stage names — the
+    live pointer cannot reach them, so the old chain stays fully readable
+    (and crash-consistent) until commit_er_state flips the pointer as its
+    last step. (An Iceberg deployment expresses this as a snapshot
+    rewrite.)"""
     return commit_er_state(spark, store, all_turns, cfg)

@@ -304,3 +304,83 @@ def test_state_stages_carry_lineage(spark, tmp_path):
     assert {"er_g1_clusters", "er_g1_edges", "er_g1_signatures"} <= stages
     rows = store.store.lineage("er_g1_clusters").groupBy().sum("rows").collect()
     assert rows[0][0] == store.read_part(1, "clusters").count()
+
+
+def test_compaction_under_live_pointer_is_crash_safe(
+    spark, tmp_path, monkeypatch
+):
+    """compact() builds the fresh base under the NEXT epoch's stage names,
+    so a crash mid-compaction leaves the live chain untouched (pointer,
+    stages, clusters, records fold); a retry succeeds; and a later
+    incremental update keeps working under the new epoch."""
+    from tabiya_livelihoods_classifier_spark.streaming import (
+        incremental_er as IE,
+    )
+
+    all_t, base_t, delta_t = _split_xs(spark)
+    store = ERStateStore(spark, tmp_path / "state")
+    commit_er_state(spark, store, base_t)
+    live = _clusters_dict(store.clusters())
+
+    real_commit = IE.ERStateStore.commit_part
+
+    def crashing(self, gen, part, df, ph, epoch=None):
+        if part == "clusters":  # late: most of the new base already landed
+            raise RuntimeError("injected compaction crash")
+        return real_commit(self, gen, part, df, ph, epoch)
+
+    monkeypatch.setattr(IE.ERStateStore, "commit_part", crashing)
+    with pytest.raises(RuntimeError, match="injected compaction crash"):
+        compact(spark, store, base_t)
+    monkeypatch.setattr(IE.ERStateStore, "commit_part", real_commit)
+
+    # live chain untouched: pointer, clusters, and the append-only records
+    # fold (an in-place rebuild would have doubled records / mixed stages)
+    assert store.generation() == 0 and store.epoch() == 0
+    assert _clusters_dict(store.clusters()) == live
+    assert store.records().count() == base_t.select(
+        "conv_id"
+    ).distinct().count()
+
+    # retry: epoch bumps, chain squashed, clusters equal the batch pipeline
+    meta = compact(spark, store, base_t)
+    assert meta["epoch"] == 1 and meta["generation"] == 0
+    assert _clusters_dict(store.clusters()) == live
+
+    # incremental update after compaction runs under the new epoch
+    report = incremental_er_update(spark, store, delta_t)
+    assert report["generation"] == 1
+    assert store.epoch() == 1
+    assert _clusters_dict(store.clusters()) == _clusters_dict(
+        er_pipeline(spark, all_t)["clusters"]
+    )
+
+
+def test_update_with_mismatched_config_refuses(spark, tmp_path):
+    """An incremental fold under a DIFFERENT ERConfig than the committed
+    state silently mixes frozen decisions with new thresholds — it must
+    refuse and demand a compaction."""
+    from tabiya_livelihoods_classifier_spark.config import ERConfig
+
+    _, base_t, delta_t = _split_xs(spark)
+    store = ERStateStore(spark, tmp_path / "state")
+    commit_er_state(spark, store, base_t)
+    with pytest.raises(ValueError, match="params_hash"):
+        incremental_er_update(
+            spark, store, delta_t, cfg=ERConfig(match_threshold=0.9)
+        )
+
+
+def test_commit_refuses_config_where_capping_can_bite(spark, tmp_path):
+    """cfg.max_block_size <= purge_block_size makes salt assignment depend
+    on run-time block size (base+delta pairs can then differ from the
+    combined recompute) — commit_er_state refuses such configs outright."""
+    from tabiya_livelihoods_classifier_spark.config import ERConfig
+
+    _, base_t, _ = _split_xs(spark)
+    store = ERStateStore(spark, tmp_path / "state")
+    with pytest.raises(ValueError, match="max_block_size"):
+        commit_er_state(
+            spark, store, base_t,
+            cfg=ERConfig(max_block_size=100, purge_block_size=500),
+        )
