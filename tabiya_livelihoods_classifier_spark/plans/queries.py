@@ -578,6 +578,15 @@ def _stage_store(spark: SparkSession):
     return StageStore(spark, root)
 
 
+def _corpus_bytes(sf_dir: str, table: str = "documents") -> int:
+    from pathlib import Path as _Path
+
+    src = _Path(sf_dir) / f"{table}.parquet"
+    if src.is_dir():
+        return sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+    return src.stat().st_size if src.exists() else 0
+
+
 def _corpus_mtime(sf_dir: str, table: str = "documents") -> int:
     from pathlib import Path as _Path
 
@@ -760,6 +769,18 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (capped n = 4095 sentinel bypasses the prune, keeping it necessary).
     em_na = F.shiftright("pa", 12).bitwiseAND(F.lit(4095))
     em_nb = F.shiftright("pb", 12).bitwiseAND(F.lit(4095))
+    # The pair aggregate's distinct-group count is ~|corpus|^2-shaped
+    # (268M at sf1.0) while the session's shuffle partitions track the
+    # core count: at 32 partitions each reduce task held an ~8M-entry
+    # aggregation map and spilled to sort. Widen THIS exchange
+    # byte-adaptively (~48 KB of source corpus per partition, floored at
+    # defaultParallelism so small corpora keep today's plan, capped at
+    # 32x cores): interleaved A/B at sf1.0 measured 34-37 s at 32
+    # partitions vs 17-20 s at 128 (guide §5: smaller per-task state
+    # beats spill). The groupBy reuses the repartition's hash
+    # partitioning, so no extra exchange is introduced.
+    dp = spark.sparkContext.defaultParallelism
+    n_pair_parts = max(dp, min(dp * 32, -(-_corpus_bytes(sf_dir) // (48 << 10))))
     cand = (
         _pair_explode(
             pbys.filter(
@@ -774,6 +795,7 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (em_nb == 4095)
             | (2 * F.least(em_na, em_nb) >= F.greatest(em_na, em_nb))
         )
+        .repartition(n_pair_parts, "pa", "pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("common_rare"))
     )
